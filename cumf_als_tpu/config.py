@@ -1,0 +1,146 @@
+"""Configuration for the TPU-native ALS framework.
+
+One dataclass carries everything the reference spreads over three tiers:
+runtime argv (reference main.cpp:32-44), compile-time ``#define`` feature
+flags (reference als.cu:25-45, main.cpp:16-17) and the hugewiki
+compile-time constants (reference hugewiki/hugewiki.cu:27-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ALSConfig:
+    """Full configuration of one ALS run.
+
+    Runtime-argv tier (reference main.cpp:32-44):
+      m, n, f, nnz, nnz_test, lam, x_batch, theta_batch, data_dir.
+    Compile-time tier (reference als.cu:25-45, main.cpp:16-17):
+      iters (ITERS=10), solver (USE_CG), cg_iters (CG_ITER=6),
+      cg_tol (CG_ERROR=1e-4, cg.cu:31), factor_dtype (CUMF_USE_HALF),
+      gram_dtype (CUMF_TT_FP16/CUMF_XX_FP16), surpass_nan (SURPASS_NAN),
+      save_model (CUMF_SAVE_MODEL).
+    """
+
+    # --- problem shape (argv tier) ---
+    m: int
+    n: int
+    f: int
+    nnz: int = 0
+    nnz_test: int = 0
+    lam: float = 0.048
+    x_batch: int = 1
+    theta_batch: int = 1
+    data_dir: str = ""
+
+    # --- training loop (ITERS, main.cpp:17) ---
+    iters: int = 10
+    seed: int = 0
+    init_scale: float = 0.2  # thetaT = init_scale * U(0,1), main.cpp:75
+
+    # --- solver (USE_CG / CG_ITER / CG_ERROR; als.cu:28-32, cg.cu:31) ---
+    solver: str = "cg"  # one of: "cg", "cholesky", "lu"
+    cg_iters: int = 6
+    cg_tol: float = 1e-4
+
+    # --- precision (CUMF_USE_HALF / CUMF_TT_FP16; als.cu:26-31) ---
+    # factor_dtype: storage dtype of the gathered factor used to form the
+    # Gram matrices ("f32" or "bf16" — the bf16 analog of fp16 theta).
+    factor_dtype: str = "f32"
+    # gram_precision: MXU precision of the Gram einsum on f32 inputs:
+    # "highest" (~fp32, 6-pass), "high" (bf16x3), "default" (1-pass bf16).
+    gram_precision: str = "highest"
+    # gram_dtype: storage dtype of the assembled Gram matrices fed to the
+    # solver ("f32" or "bf16" — the CUMF_TT_FP16 analog).
+    gram_dtype: str = "f32"
+
+    # --- RMSE (SURPASS_NAN, als.cu:27) ---
+    # Rows/cols with zero training ratings get zero factors, which gives
+    # prediction 0 for their test entries — the *intended* semantics of the
+    # reference's SURPASS_NAN NaN-skip (als.cu:201-211).
+    surpass_nan: bool = True
+    # "fused": train RMSE from the theta-phase Gram/RHS identity (free);
+    # "direct": per-nonzero gather + dot (reference RMSE kernel semantics).
+    train_rmse_method: str = "direct"
+
+    # --- bucketing / memory batching ---
+    # Padded row-bucket widths are powers of two in [min_bucket_width,
+    # max_bucket_width]; rows longer than max_bucket_width still get a
+    # single bucket of the next power of two (a Gram row must see all its
+    # nonzeros at once).
+    min_bucket_width: int = 8
+    max_bucket_width: int = 1 << 18
+    # Upper bound on padded nonzeros processed by one jitted chunk. This is
+    # the TPU analog of X_BATCH/THETA_BATCH (als.cu:768, 881): it bounds the
+    # transient gather buffer (chunk_nnz * f * dtype bytes).
+    chunk_nnz: int = 1 << 22
+
+    # --- kernels ---
+    # "xla": bucketed gather + einsum path; "pallas": fused Pallas kernels
+    # where available (falls back to xla per-op otherwise).
+    backend: str = "xla"
+
+    # --- checkpoint / resume (reference has none; SURVEY §5) ---
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # iterations; 0 = disabled
+    resume: bool = False
+
+    # --- observability ---
+    verbose: bool = True       # reference-style stdout contract lines
+    debug_timing: bool = True  # per-phase timing lines (make debug analog)
+    save_model: bool = False   # CUMF_SAVE_MODEL analog: dump Gram/solve artifacts
+    save_model_dir: str = "./log"
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    # --- parallelism (hugewiki tier; SURVEY §2 items 14-17) ---
+    mesh_shape: Optional[Tuple[int, ...]] = None  # e.g. (8,) data axis
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    # out-of-core: keep the large factor host-resident, stream shards
+    host_offload_x: bool = False
+
+    def __post_init__(self):
+        if self.f <= 0:
+            raise ValueError(f"F must be positive, got {self.f}")
+        if self.solver not in ("cg", "cholesky", "lu"):
+            raise ValueError(f"unknown solver {self.solver!r}")
+        if self.factor_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown factor_dtype {self.factor_dtype!r}")
+        if self.gram_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown gram_dtype {self.gram_dtype!r}")
+        if self.gram_precision not in ("highest", "high", "default"):
+            raise ValueError(f"unknown gram_precision {self.gram_precision!r}")
+        if self.train_rmse_method not in ("direct", "fused"):
+            raise ValueError(
+                f"unknown train_rmse_method {self.train_rmse_method!r}")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    @property
+    def f_pad(self) -> int:
+        """F padded to the TPU lane width (128) or a multiple of it.
+
+        The reference restricts F to multiples of T10=10 (main.cpp:33-35)
+        because its register tiles are 10x10 (als.h:39). The MXU tile is
+        128x128, so every F pads to a multiple of 128; F=100 runs on the
+        same footing as F=128.
+        """
+        return max(128, ((self.f + 127) // 128) * 128)
+
+    def replace(self, **kw) -> "ALSConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Canonical workload definitions from the reference (README.md:71-90,
+# hugewiki/hugewiki.cu:27-42). Used by tests/benchmarks with synthetic data.
+NETFLIX = ALSConfig(m=17770, n=480189, f=100, nnz=99_072_112,
+                    nnz_test=1_408_395, lam=0.048, x_batch=1, theta_batch=3)
+ML10M = ALSConfig(m=71567, n=65133, f=100, nnz=9_000_048,
+                  nnz_test=1_000_006, lam=0.05, x_batch=1, theta_batch=1)
+YAHOO = ALSConfig(m=1_000_990, n=624_961, f=100, nnz=252_800_275,
+                  nnz_test=4_003_960, lam=1.4, x_batch=6, theta_batch=3)
+HUGEWIKI = ALSConfig(m=50_082_603, n=39_780, f=100, nnz=3_101_144_313,
+                     nnz_test=344_573_330, lam=0.048, x_batch=240,
+                     theta_batch=3, host_offload_x=True)

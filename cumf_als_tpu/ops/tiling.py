@@ -1,0 +1,143 @@
+"""Row bucketing / padding plans: the TPU layout for sparse Gram formation.
+
+The reference handles ragged rows with a SCAN_BATCH sliding window inside
+its register-tiled kernel (reference als.cu:443-569) plus X_BATCH /
+THETA_BATCH memory batching (als.cu:768, 881). On TPU the equivalent
+layout decision is made once on the host: rows are grouped into power-of-
+two-width buckets, each row's column list padded to the bucket width, and
+buckets split into fixed-shape chunks so every device step is a static-
+shape gather + batched MXU matmul. Geometric bucket widths bound padding
+overhead at <2x and neutralize the heavy degree skew (Netflix movie rows
+reach ~230k nonzeros while user rows average ~200 — SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from cumf_als_tpu.utils.io import CSRMatrix
+
+
+@dataclasses.dataclass
+class PlanChunk:
+    """One static-shape unit of work: R rows, each padded to width P.
+
+    Padding contract:
+      - `cols` is padded with `num_cols` (one past the gather table), so a
+        zero-extended table makes padded gathers contribute nothing;
+      - `vals` is padded with 0;
+      - ragged tail rows (R padding) have `rows == num_rows` and `nnz == 0`
+        and are dropped by the out-of-bounds scatter on write-back.
+    """
+    width: int            # P
+    rows: np.ndarray      # (R,) int32, == num_rows for dummy tail rows
+    nnz: np.ndarray       # (R,) int32 true row lengths
+    cols: np.ndarray      # (R, P) int32 gather indices into the fixed factor
+    vals: np.ndarray      # (R, P) float32 ratings, 0-padded
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def padded_nnz(self) -> int:
+        return self.rows.shape[0] * self.width
+
+
+@dataclasses.dataclass
+class UpdatePlan:
+    """Bucketed layout of one side of the ALS update (X- or theta-phase)."""
+    num_rows: int         # rows of the factor being updated (m or n)
+    num_cols: int         # rows of the gather table (n or m)
+    chunks: List[PlanChunk]
+    true_nnz: int
+    padded_nnz: int
+
+    @property
+    def expansion(self) -> float:
+        return self.padded_nnz / max(1, self.true_nnz)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def build_update_plan(
+    csr: CSRMatrix,
+    min_width: int = 8,
+    max_width: int = 1 << 18,
+    chunk_nnz: int = 1 << 22,
+    widths: Optional[Sequence[int]] = None,
+) -> UpdatePlan:
+    """Build the bucketed plan for one phase from row-compressed ratings.
+
+    Rows are bucketed by next_pow2(nnz) clamped to [min_width, ...]; rows
+    longer than max_width still get their exact next_pow2 bucket (a row's
+    Gram needs all its nonzeros together). Each bucket is split into chunks
+    of at most chunk_nnz padded nonzeros — the X_BATCH/THETA_BATCH analog
+    bounding transient gather memory.
+    """
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+    max_nnz = int(row_nnz.max()) if row_nnz.size else 0
+    if widths is None:
+        widths = []
+        w = max(8, _next_pow2(min_width))
+        top = max(w, _next_pow2(max(1, max_nnz)))
+        while w <= top:
+            widths.append(w)
+            w *= 2
+    widths = sorted(set(int(w) for w in widths))
+
+    # Assign each row the smallest width >= its nnz (empty rows are left
+    # out of the plan entirely; their factors are zeroed by the solver
+    # driver, the SURPASS_NAN-intended semantics).
+    nonempty = np.nonzero(row_nnz > 0)[0]
+    bucket_of = np.searchsorted(widths, row_nnz[nonempty])
+    order = np.argsort(bucket_of, kind="stable")
+    nonempty = nonempty[order]
+    bucket_of = bucket_of[order]
+
+    chunks: List[PlanChunk] = []
+    padded_total = 0
+    starts = np.searchsorted(bucket_of, np.arange(len(widths) + 1))
+    for b, width in enumerate(widths):
+        rows_b = nonempty[starts[b]:starts[b + 1]]
+        if rows_b.size == 0:
+            continue
+        rows_per_chunk = max(1, chunk_nnz // width)
+        for lo in range(0, rows_b.size, rows_per_chunk):
+            rows_c = rows_b[lo:lo + rows_per_chunk]
+            r = rows_c.size
+            # Pad the chunk's row count so every chunk of a bucket shares
+            # one compiled shape (last chunk gets dummy tail rows).
+            r_pad = rows_per_chunk if rows_b.size >= rows_per_chunk else r
+            chunk = _materialize_chunk(csr, rows_c, width, r_pad)
+            chunks.append(chunk)
+            padded_total += chunk.padded_nnz
+    return UpdatePlan(num_rows=csr.num_rows, num_cols=csr.num_cols,
+                      chunks=chunks, true_nnz=int(row_nnz.sum()),
+                      padded_nnz=padded_total)
+
+
+def _materialize_chunk(csr: CSRMatrix, rows: np.ndarray, width: int,
+                       r_pad: int) -> PlanChunk:
+    r = rows.size
+    nnz = np.diff(csr.indptr)[rows].astype(np.int32)
+    offs = csr.indptr[rows].astype(np.int64)
+    idx = offs[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    mask = np.arange(width, dtype=np.int32)[None, :] < nnz[:, None]
+    idx = np.where(mask, idx, 0)
+    cols = np.where(mask, csr.indices[idx], csr.num_cols).astype(np.int32)
+    vals = np.where(mask, csr.data[idx], 0.0).astype(np.float32)
+    if r_pad > r:
+        pad = r_pad - r
+        rows = np.concatenate([rows, np.full(pad, csr.num_rows)])
+        nnz = np.concatenate([nnz, np.zeros(pad, np.int32)])
+        cols = np.concatenate(
+            [cols, np.full((pad, width), csr.num_cols, np.int32)])
+        vals = np.concatenate([vals, np.zeros((pad, width), np.float32)])
+    return PlanChunk(width=width, rows=rows.astype(np.int32), nnz=nnz,
+                     cols=cols, vals=vals)
