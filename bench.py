@@ -1,0 +1,143 @@
+"""Benchmark driver: Netflix-shaped ALS on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Workload: the reference's headline benchmark — Netflix m=17770, n=480189,
+F=100, NNZ=99,072,112, lambda=0.048, 10 iterations, CG solver (the
+reference's USE_CG default; reference README.md:71, als.cu:28). Data is
+synthetic with matched shape/skew (zero-egress environment; see
+cumf_als_tpu/data/synthetic.py). Per-iteration time mirrors the
+reference's reported figure: the sum of the update-X and update-theta
+phase times (reference als.cu:850, 963), excluding RMSE evaluation.
+
+Baseline: cuMF on a P100 runs a Netflix F=100 ALS iteration in ~1.0 s
+(HPDC'16 reports ~2.4 s/iter on K40; P100 has ~2.4x the bandwidth/flops).
+vs_baseline = baseline_sec_per_iter / our_sec_per_iter (>1 means faster
+per chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SEC_PER_ITER = 1.0  # cuMF on P100, Netflix F=100 (see docstring)
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_workload(name: str, scale: float, seed: int = 0):
+    from cumf_als_tpu.data.synthetic import workload_ratings
+    from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tag = f"{name}_s{scale:g}_seed{seed}"
+    path = os.path.join(CACHE_DIR, tag + ".npz")
+    if os.path.exists(path):
+        log(f"[bench] loading cached dataset {path}")
+        z = np.load(path)
+        train = CSRMatrix(indptr=z["indptr"], indices=z["indices"],
+                          data=z["data"], num_rows=int(z["m"]),
+                          num_cols=int(z["n"]))
+        test = COOMatrix(row=z["trow"], col=z["tcol"], data=z["tdata"],
+                         num_rows=int(z["m"]), num_cols=int(z["n"]))
+        return train, test
+    log(f"[bench] generating synthetic {name} (scale={scale}) ...")
+    t0 = time.monotonic()
+    train, test = workload_ratings(name, scale=scale, seed=seed)
+    log(f"[bench] generated nnz={train.nnz} nnz_test={test.nnz} "
+        f"in {time.monotonic() - t0:.1f}s")
+    np.savez(path, indptr=train.indptr, indices=train.indices,
+             data=train.data, trow=test.row, tcol=test.col,
+             tdata=test.data, m=train.num_rows, n=train.num_cols)
+    return train, test
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", default="netflix",
+                   choices=["netflix", "ml10m", "yahoo"])
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--f", type=int, default=100)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--solver", default="cg",
+                   choices=["cg", "cholesky", "lu"])
+    p.add_argument("--gram-precision", default="highest",
+                   choices=["highest", "high", "default"])
+    p.add_argument("--factor-dtype", default="f32",
+                   choices=["f32", "bf16"])
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) for smoke runs")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from cumf_als_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    log(f"[bench] devices: {jax.devices()}")
+
+    lam = {"netflix": 0.048, "ml10m": 0.05, "yahoo": 1.4}[args.workload]
+    train, test = load_workload(args.workload, args.scale)
+
+    from cumf_als_tpu.config import ALSConfig
+    from cumf_als_tpu.data.synthetic import init_factors
+    from cumf_als_tpu.models.als import ALS
+
+    cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=args.f,
+                    nnz=train.nnz, nnz_test=test.nnz, lam=lam,
+                    iters=args.iters, solver=args.solver,
+                    gram_precision=args.gram_precision,
+                    factor_dtype=args.factor_dtype,
+                    train_rmse_method="fused", verbose=False,
+                    debug_timing=False)
+    t0 = time.monotonic()
+    model = ALS(cfg, train, None, test)
+    log(f"[bench] plans built in {time.monotonic() - t0:.1f}s "
+        f"(x expansion {model.plan_x[0].expansion:.3f}, "
+        f"theta expansion {model.plan_theta[0].expansion:.3f})")
+
+    x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=cfg.seed)
+    t0 = time.monotonic()
+    res = model.run(x0, th0)
+    total = time.monotonic() - t0
+    for h in res.history:
+        log(f"[bench] iter {h.iteration}: x={h.x_seconds:.3f}s "
+            f"theta={h.theta_seconds:.3f}s train_rmse={h.train_rmse:.4f} "
+            f"test_rmse={h.test_rmse:.4f}")
+
+    iter_times = [h.x_seconds + h.theta_seconds for h in res.history[1:]]
+    sec_per_iter = float(np.median(iter_times)) if iter_times else \
+        res.history[0].x_seconds + res.history[0].theta_seconds
+    # effective Gram throughput: 2 phases * 2*nnz*f_pad^2 flops
+    gram_flops = 4.0 * train.nnz * cfg.f_pad ** 2
+    gflops = gram_flops / sec_per_iter / 1e9
+
+    out = {
+        "metric": f"{args.workload}_f{args.f}_sec_per_iter",
+        "value": round(sec_per_iter, 4),
+        "unit": "s/iter",
+        "vs_baseline": round(BASELINE_SEC_PER_ITER / sec_per_iter, 3),
+        "test_rmse_final": round(res.history[-1].test_rmse, 5),
+        "train_rmse_final": round(res.history[-1].train_rmse, 5),
+        "total_seconds": round(total, 2),
+        "gram_gflops": round(gflops, 1),
+        "solver": args.solver,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

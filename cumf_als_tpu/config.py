@@ -77,6 +77,10 @@ class ALSConfig:
     # the TPU analog of X_BATCH/THETA_BATCH (als.cu:768, 881): it bounds the
     # transient gather buffer (chunk_nnz * f * dtype bytes).
     chunk_nnz: int = 1 << 22
+    # Upper bound on rows per chunk: bounds the Gram buffer
+    # (chunk_rows * f_pad^2 * 4 bytes), the dominant allocation — the
+    # analog of the reference's per-batch tt buffer (als.cu:780-783).
+    chunk_rows: int = 1 << 14
 
     # --- kernels ---
     # "xla": bucketed gather + einsum path; "pallas": fused Pallas kernels

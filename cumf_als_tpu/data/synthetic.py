@@ -4,16 +4,24 @@ The reference downloads Netflix/ML-10M (reference
 data/ml10M/prepare_ml10M_data.py:24-43); this environment has no network
 egress, so tests and benchmarks run on synthetic matrices with matched
 shape, nnz and degree skew, generated from a planted low-rank model so ALS
-convergence (falling RMSE toward the noise floor) is verifiable.
+convergence (falling RMSE toward the noise floor) is verifiable. Sampling
+is inverse-CDF over Zipf-like weights, chunked so Netflix/Yahoo-scale
+(1e8+ nonzeros) generates in seconds with bounded memory.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple, Union
 
 import numpy as np
 
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, coo_to_csr
+
+
+def _zipf_cdf(size: int, skew: float, rng) -> np.ndarray:
+    w = np.arange(1, size + 1, dtype=np.float64) ** (-skew)
+    rng.shuffle(w)
+    return np.cumsum(w / w.sum())
 
 
 def synthetic_ratings(
@@ -23,58 +31,62 @@ def synthetic_ratings(
     nnz_test: int,
     rank: int = 10,
     noise: float = 0.1,
-    skew: float = 1.0,
+    skew: Union[float, Tuple[float, float]] = 1.0,
     rating_range: Tuple[float, float] = (1.0, 5.0),
     seed: int = 0,
 ) -> Tuple[CSRMatrix, COOMatrix]:
     """Sample (train CSR, test COO) from a planted rank-`rank` model.
 
-    Row/column sampling uses Zipf-like weights with exponent `skew` to
-    mimic the heavy-tailed degree distributions of the real datasets
-    (Netflix movie rows reach ~230k ratings; SURVEY §7 "hard parts").
+    Row/column sampling uses Zipf-like weights (exponent `skew`, or a
+    (row_skew, col_skew) pair) to mimic the heavy-tailed degree
+    distributions of the real datasets (Netflix movie rows reach ~230k
+    ratings while user rows average ~200 — SURVEY §7 "hard parts").
     Duplicate (row, col) pairs are de-duplicated, so the returned nnz can
-    be slightly below the request for dense regimes.
+    fall below the request in dense/skewed regimes — read the actual
+    counts off the returned matrices.
     """
     rng = np.random.RandomState(seed)
+    row_skew, col_skew = (skew if isinstance(skew, tuple) else (skew, skew))
     u = rng.standard_normal((m, rank)).astype(np.float32) / np.sqrt(rank)
     v = rng.standard_normal((n, rank)).astype(np.float32)
 
     lo, hi = rating_range
     total = nnz + nnz_test
+    cdf_row = _zipf_cdf(m, row_skew, rng)
+    cdf_col = _zipf_cdf(n, col_skew, rng)
 
-    prow = (np.arange(1, m + 1, dtype=np.float64)) ** (-skew)
-    rng.shuffle(prow)
-    prow /= prow.sum()
-    pcol = (np.arange(1, n + 1, dtype=np.float64)) ** (-skew)
-    rng.shuffle(pcol)
-    pcol /= pcol.sum()
-
-    # Oversample, then de-duplicate (row, col) pairs.
-    want = int(total * 1.3) + 16
-    rows = rng.choice(m, size=want, p=prow).astype(np.int64)
-    cols = rng.choice(n, size=want, p=pcol).astype(np.int64)
-    keys = rows * n + cols
-    _, first = np.unique(keys, return_index=True)
-    first.sort()
-    first = first[:total]
-    rows = rows[first].astype(np.int32)
-    cols = cols[first].astype(np.int32)
-    total = rows.shape[0]
+    # Oversample in chunks, de-duplicate (row, col) keys incrementally.
+    want = int(total * 1.25) + 16
+    keys_parts = []
+    seen = 0
+    for _ in range(8):  # retry rounds for heavy-duplication regimes
+        r = np.searchsorted(cdf_row, rng.random_sample(want)).astype(np.int64)
+        c = np.searchsorted(cdf_col, rng.random_sample(want)).astype(np.int64)
+        keys_parts.append(r * n + c)
+        keys = np.unique(np.concatenate(keys_parts))
+        seen = keys.shape[0]
+        if seen >= total:
+            break
+        want = min(int((total - seen) * 2.0) + 16, 4 * total)
+    keys = keys[rng.permutation(seen)[:min(seen, total)]]
+    total = keys.shape[0]
     nnz = min(nnz, total - min(nnz_test, total // 10))
     nnz_test = total - nnz
+    rows = (keys // n).astype(np.int32)
+    cols = (keys % n).astype(np.int32)
 
     raw = np.einsum("ij,ij->i", u[rows], v[cols])
     raw = raw + noise * rng.standard_normal(total).astype(np.float32)
     # Affine-map to the rating range and round to halves like real stars.
     mid, half = (hi + lo) / 2.0, (hi - lo) / 2.0
-    vals = np.clip(mid + half * raw / 2.0, lo, hi).astype(np.float32)
-    vals = np.round(vals * 2.0) / 2.0
-    vals = vals.astype(np.float32)
+    vals = np.clip(mid + half * raw / 2.0, lo, hi)
+    vals = (np.round(vals * 2.0) / 2.0).astype(np.float32)
 
-    perm = rng.permutation(total)
-    tr, te = perm[:nnz], perm[nnz:]
+    tr = np.ones(total, bool)
+    tr[rng.choice(total, size=nnz_test, replace=False)] = False
     train = coo_to_csr(COOMatrix(row=rows[tr], col=cols[tr], data=vals[tr],
                                  num_rows=m, num_cols=n))
+    te = ~tr
     test = COOMatrix(row=rows[te], col=cols[te], data=vals[te],
                      num_rows=m, num_cols=n)
     return train, test
@@ -91,3 +103,27 @@ def init_factors(m: int, n: int, f: int, seed: int = 0,
     theta = (init_scale * rng.random_sample((n, f))).astype(np.float32)
     x = np.zeros((m, f), dtype=np.float32)
     return x, theta
+
+
+# Workload-shaped synthetic datasets (shapes from BASELINE.md).
+WORKLOAD_SHAPES = {
+    "ml10m": dict(m=71567, n=65133, nnz=9_000_048, nnz_test=1_000_006,
+                  skew=(0.45, 0.45)),
+    "netflix": dict(m=17770, n=480_189, nnz=99_072_112,
+                    nnz_test=1_408_395, skew=(0.5, 0.35)),
+    "yahoo": dict(m=1_000_990, n=624_961, nnz=252_800_275,
+                  nnz_test=4_003_960, skew=(0.45, 0.4)),
+}
+
+
+def workload_ratings(name: str, scale: float = 1.0, seed: int = 0,
+                     rank: int = 10, noise: float = 0.35):
+    """Synthetic dataset shaped like a named reference workload,
+    optionally scaled down (scale < 1) for smoke runs."""
+    shp = dict(WORKLOAD_SHAPES[name])
+    if scale != 1.0:
+        for k in ("m", "n", "nnz", "nnz_test"):
+            shp[k] = max(8, int(shp[k] * scale))
+    skew = shp.pop("skew")
+    return synthetic_ratings(rank=rank, noise=noise, skew=skew, seed=seed,
+                             **shp)

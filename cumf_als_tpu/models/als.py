@@ -80,10 +80,10 @@ class ALS:
         t0 = seconds()
         self.plan_x = self._device_plan(build_update_plan(
             self.train_csr, cfg.min_bucket_width, cfg.max_bucket_width,
-            cfg.chunk_nnz))
+            cfg.chunk_nnz, cfg.chunk_rows))
         self.plan_theta = self._device_plan(build_update_plan(
             self.train_csc, cfg.min_bucket_width, cfg.max_bucket_width,
-            cfg.chunk_nnz))
+            cfg.chunk_nnz, cfg.chunk_rows))
         self.plan_seconds = seconds() - t0
 
     @staticmethod

@@ -70,15 +70,18 @@ def build_update_plan(
     min_width: int = 8,
     max_width: int = 1 << 18,
     chunk_nnz: int = 1 << 22,
+    chunk_rows: int = 1 << 14,
     widths: Optional[Sequence[int]] = None,
 ) -> UpdatePlan:
     """Build the bucketed plan for one phase from row-compressed ratings.
 
     Rows are bucketed by next_pow2(nnz) clamped to [min_width, ...]; rows
     longer than max_width still get their exact next_pow2 bucket (a row's
-    Gram needs all its nonzeros together). Each bucket is split into chunks
-    of at most chunk_nnz padded nonzeros — the X_BATCH/THETA_BATCH analog
-    bounding transient gather memory.
+    Gram needs all its nonzeros together). Each bucket is split into
+    chunks of at most chunk_nnz padded nonzeros AND at most chunk_rows
+    rows — the X_BATCH/THETA_BATCH analog. chunk_nnz bounds the transient
+    gather buffer (chunk_nnz * f * 4B); chunk_rows bounds the Gram buffer
+    (chunk_rows * f^2 * 4B), which otherwise explodes for narrow buckets.
     """
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     max_nnz = int(row_nnz.max()) if row_nnz.size else 0
@@ -107,7 +110,7 @@ def build_update_plan(
         rows_b = nonempty[starts[b]:starts[b + 1]]
         if rows_b.size == 0:
             continue
-        rows_per_chunk = max(1, chunk_nnz // width)
+        rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
         for lo in range(0, rows_b.size, rows_per_chunk):
             rows_c = rows_b[lo:lo + rows_per_chunk]
             r = rows_c.size

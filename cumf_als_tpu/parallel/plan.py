@@ -1,0 +1,221 @@
+"""Sharded update plans: SPMD-aligned layouts for multi-chip ALS.
+
+The reference's hugewiki app shards the rating matrix across 4 GPUs with
+hardcoded row splits and balances uneven batches with an OpenMP critical-
+section work counter (reference hugewiki.cu:2273-2275, 2490-2496). The
+SPMD equivalent is decided on the host, once: rows are assigned to
+devices balanced by nonzero count, and every device gets *identically
+shaped* bucket chunks (padded with dummy rows where needed) so a single
+shard_map program runs on all of them.
+
+Two layouts:
+  - ShardedRowPlan (large-factor phase): each device owns a disjoint row
+    shard; gather table (the small factor) is replicated; no collectives.
+  - ReducePlan (small-factor phase): every device sees the *same* small-
+    factor rows per block, with its local ratings only; partial Gram/RHS
+    are psum'd over the mesh — the ICI version of the reference's
+    anchor-GPU cudaMemcpy+cublasSaxpy reduction (hugewiki.cu:2703-2730).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from cumf_als_tpu.utils.io import CSRMatrix
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def assign_rows_balanced(row_nnz: np.ndarray, n_dev: int) -> np.ndarray:
+    """Greedy balanced assignment: rows sorted by nnz descending, each
+    placed on the currently lightest device. Returns device id per row.
+    This is the static-SPMD replacement for hugewiki's dynamic work
+    counter (hugewiki.cu:2490-2496)."""
+    order = np.argsort(-row_nnz, kind="stable")
+    load = np.zeros(n_dev, np.int64)
+    count = np.zeros(n_dev, np.int64)
+    assign = np.zeros(row_nnz.shape[0], np.int32)
+    # cap rows per device so shards stay rectangular
+    cap = -(-row_nnz.shape[0] // n_dev)
+    for r in order:
+        cands = np.nonzero(count < cap)[0]
+        d = cands[np.argmin(load[cands])]
+        assign[r] = d
+        load[d] += int(row_nnz[r])
+        count[d] += 1
+    return assign
+
+
+@dataclasses.dataclass
+class ShardedChunk:
+    """One shard_map work unit: arrays carry a leading device axis."""
+    width: int
+    rows: np.ndarray   # (n_dev, R) int32 LOCAL row ids (== m_loc for dummy)
+    nnz: np.ndarray    # (n_dev, R) int32
+    cols: np.ndarray   # (n_dev, R, P) int32 global ids into the table
+    vals: np.ndarray   # (n_dev, R, P) float32
+
+
+@dataclasses.dataclass
+class ShardedRowPlan:
+    n_dev: int
+    m: int                      # global rows
+    m_loc: int                  # rows per device shard (padded)
+    global_ids: np.ndarray      # (n_dev, m_loc) int32, == m for padding
+    num_cols: int               # gather table size
+    chunks: List[ShardedChunk]
+
+
+def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
+                           min_width: int = 8,
+                           max_width: int = 1 << 18,
+                           chunk_nnz: int = 1 << 22,
+                           chunk_rows: int = 1 << 14) -> ShardedRowPlan:
+    """Shard csr's rows over n_dev devices with aligned bucket chunks."""
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+    assign = assign_rows_balanced(row_nnz, n_dev)
+    m_loc = -(-csr.num_rows // n_dev)
+    global_ids = np.full((n_dev, m_loc), csr.num_rows, np.int32)
+    local_of = np.zeros(csr.num_rows, np.int32)
+    for d in range(n_dev):
+        rows_d = np.nonzero(assign == d)[0]
+        global_ids[d, :rows_d.size] = rows_d
+        local_of[rows_d] = np.arange(rows_d.size, dtype=np.int32)
+
+    # Global bucket widths so all devices agree.
+    max_nnz = int(row_nnz.max()) if row_nnz.size else 1
+    widths = []
+    w = max(8, _next_pow2(min_width))
+    top = max(w, _next_pow2(max(1, max_nnz)))
+    while w <= top:
+        widths.append(w)
+        w *= 2
+
+    # Per device, group nonempty rows by bucket.
+    per_dev_buckets: List[List[np.ndarray]] = []
+    for d in range(n_dev):
+        rows_d = np.nonzero((assign == d) & (row_nnz > 0))[0]
+        b_of = np.searchsorted(widths, row_nnz[rows_d])
+        per_dev_buckets.append(
+            [rows_d[b_of == b] for b in range(len(widths))])
+
+    chunks: List[ShardedChunk] = []
+    for b, width in enumerate(widths):
+        rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
+        n_chunks = max((-(-per_dev_buckets[d][b].size // rows_per_chunk)
+                        if per_dev_buckets[d][b].size else 0)
+                       for d in range(n_dev))
+        for c in range(n_chunks):
+            rows = np.full((n_dev, rows_per_chunk), m_loc, np.int32)
+            nnz = np.zeros((n_dev, rows_per_chunk), np.int32)
+            cols = np.full((n_dev, rows_per_chunk, width), csr.num_cols,
+                           np.int32)
+            vals = np.zeros((n_dev, rows_per_chunk, width), np.float32)
+            for d in range(n_dev):
+                rows_d = per_dev_buckets[d][b][c * rows_per_chunk:
+                                               (c + 1) * rows_per_chunk]
+                for i, r in enumerate(rows_d):
+                    lo, hi = int(csr.indptr[r]), int(csr.indptr[r + 1])
+                    k = hi - lo
+                    rows[d, i] = local_of[r]
+                    nnz[d, i] = k
+                    cols[d, i, :k] = csr.indices[lo:hi]
+                    vals[d, i, :k] = csr.data[lo:hi]
+            chunks.append(ShardedChunk(width=width, rows=rows, nnz=nnz,
+                                       cols=cols, vals=vals))
+    return ShardedRowPlan(n_dev=n_dev, m=csr.num_rows, m_loc=m_loc,
+                          global_ids=global_ids, num_cols=csr.num_cols,
+                          chunks=chunks)
+
+
+@dataclasses.dataclass
+class ReduceBlock:
+    """One psum'd block of the small-factor update: all devices hold the
+    same small-factor rows; cols are LOCAL large-factor ids."""
+    width: int
+    rows: np.ndarray       # (C,) int32 global small-factor row ids
+    nnz_local: np.ndarray  # (n_dev, C) int32 per-device ratings count
+    nnz_total: np.ndarray  # (C,) int32 total ratings count (for lambda)
+    cols: np.ndarray       # (n_dev, C, P) int32 LOCAL ids into x shard
+    vals: np.ndarray       # (n_dev, C, P) float32
+
+
+@dataclasses.dataclass
+class ReducePlan:
+    n_dev: int
+    n: int                 # small-factor rows
+    m_loc: int             # local large-factor shard size (gather table)
+    blocks: List[ReduceBlock]
+
+
+def build_reduce_plan(csc: CSRMatrix, row_plan: ShardedRowPlan,
+                      block_rows: int = 1024,
+                      chunk_nnz: int = 1 << 22) -> ReducePlan:
+    """Build the data-parallel small-factor plan from the transpose view.
+
+    csc: rows = small-factor ids, cols = large-factor ids (global).
+    Ratings are split by which device owns the large-factor row; small-
+    factor rows are sorted by total nnz and grouped into fixed blocks so
+    padded width tracks the skew (heavy rows cluster together).
+    """
+    n_dev = row_plan.n_dev
+    n = csc.num_rows
+    row_nnz = np.diff(csc.indptr).astype(np.int64)
+
+    # device owner + local id of each large-factor (column) id
+    owner = np.full(row_plan.m + 1, 0, np.int32)
+    local = np.full(row_plan.m + 1, row_plan.m_loc, np.int32)
+    for d in range(n_dev):
+        ids = row_plan.global_ids[d]
+        valid = ids < row_plan.m
+        owner[ids[valid]] = d
+        local[ids[valid]] = np.arange(row_plan.m_loc, dtype=np.int32)[valid]
+
+    order = np.argsort(-row_nnz, kind="stable")
+    order = order[row_nnz[order] > 0]
+
+    blocks: List[ReduceBlock] = []
+    for lo in range(0, order.size, block_rows):
+        rows_b = order[lo:lo + block_rows]
+        c_pad = block_rows
+        # split each row's ratings per device
+        split_cols = [[None] * c_pad for _ in range(n_dev)]
+        split_vals = [[None] * c_pad for _ in range(n_dev)]
+        nnz_local = np.zeros((n_dev, c_pad), np.int32)
+        nnz_total = np.zeros(c_pad, np.int32)
+        width = 8
+        for i, j in enumerate(rows_b):
+            s, e = int(csc.indptr[j]), int(csc.indptr[j + 1])
+            cj = csc.indices[s:e]
+            vj = csc.data[s:e]
+            dj = owner[cj]
+            nnz_total[i] = e - s
+            for d in range(n_dev):
+                sel = dj == d
+                k = int(sel.sum())
+                nnz_local[d, i] = k
+                split_cols[d][i] = local[cj[sel]]
+                split_vals[d][i] = vj[sel]
+                width = max(width, _next_pow2(max(1, k)))
+        cols = np.full((n_dev, c_pad, width), row_plan.m_loc, np.int32)
+        vals = np.zeros((n_dev, c_pad, width), np.float32)
+        for d in range(n_dev):
+            for i in range(c_pad):
+                cc = split_cols[d][i]
+                if cc is None or len(cc) == 0:
+                    continue
+                cols[d, i, :len(cc)] = cc
+                vals[d, i, :len(cc)] = split_vals[d][i]
+        rows_out = np.full(c_pad, n, np.int32)
+        rows_out[:rows_b.size] = rows_b
+        blocks.append(ReduceBlock(width=width, rows=rows_out,
+                                  nnz_local=nnz_local,
+                                  nnz_total=nnz_total, cols=cols,
+                                  vals=vals))
+    return ReducePlan(n_dev=n_dev, n=n, m_loc=row_plan.m_loc,
+                      blocks=blocks)

@@ -1,0 +1,357 @@
+"""Multi-chip ALS: the hugewiki app re-designed as SPMD over a mesh.
+
+The reference's 4-GPU topology (reference hugewiki/hugewiki.cu:2248-2888):
+X out-of-core/streamed, theta replicated and broadcast after each update,
+partial Gram matrices gathered to GPU0 and accumulated with cublasSaxpy,
+batches pulled off a shared OpenMP counter. Here:
+
+  - the LARGE factor is row-sharded over a 1-D mesh (balanced by nnz);
+  - the SMALL factor is replicated (the broadcast is free: XLA keeps it
+    replicated);
+  - large-factor update: shard_map with NO collectives (row solves are
+    independent — pure model parallelism, SURVEY §2 parallelism item 1);
+  - small-factor update: each device forms partial (A, b) from its
+    ratings shard, lax.psum over the mesh axis — the ICI all-reduce that
+    replaces hugewiki.cu:2703-2730 — then every device solves the block
+    (replicated compute, no broadcast needed afterwards).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cumf_als_tpu.config import ALSConfig
+from cumf_als_tpu.models.als import ALSResult, IterationMetrics
+from cumf_als_tpu.ops.gram import _PRECISIONS
+from cumf_als_tpu.ops.solve import solve
+from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from cumf_als_tpu.parallel.plan import (ReducePlan, ShardedRowPlan,
+                                        build_reduce_plan,
+                                        build_sharded_row_plan)
+from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
+from cumf_als_tpu.utils.timing import seconds
+
+
+def _gram_local(table_ext, cols, vals, precision):
+    """Local gather + MXU contraction (no regularizer — the caller adds
+    it after any cross-device reduction)."""
+    g = jnp.take(table_ext, cols, axis=0)
+    prec = _PRECISIONS[precision]
+    a = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                   preferred_element_type=jnp.float32)
+    b = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
+                   preferred_element_type=jnp.float32)
+    return a, b
+
+
+class ShardedALS:
+    """SPMD ALS over a 1-D device mesh (the hugewiki-capability path)."""
+
+    def __init__(self, cfg: ALSConfig, train_csr: CSRMatrix,
+                 train_csc: Optional[CSRMatrix] = None,
+                 test_coo: Optional[COOMatrix] = None,
+                 n_devices: Optional[int] = None,
+                 block_rows: int = 1024):
+        self.cfg = cfg
+        self.mesh = make_mesh(n_devices)
+        self.n_dev = self.mesh.devices.size
+        self.train_csr = train_csr
+        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.test_coo = test_coo
+        self.row_plan = build_sharded_row_plan(
+            train_csr, self.n_dev, cfg.min_bucket_width,
+            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
+        self.reduce_plan = build_reduce_plan(
+            self.train_csc, self.row_plan, block_rows=block_rows)
+        self._shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._repl = NamedSharding(self.mesh, P())
+        self._test_plan = (self._build_coo_plan(test_coo)
+                           if test_coo is not None and test_coo.nnz else None)
+        self._fn_cache = {}
+
+    # ---------- factor layout ----------
+    def shard_x(self, x: np.ndarray) -> jnp.ndarray:
+        """(m, f) host factors -> (n_dev, m_loc, f_pad) device-sharded."""
+        f_pad = self.cfg.f_pad
+        out = np.zeros((self.n_dev, self.row_plan.m_loc, f_pad), np.float32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            out[d, valid, :x.shape[1]] = x[ids[valid]]
+        return jax.device_put(out, self._shard)
+
+    def unshard_x(self, x_sharded: jnp.ndarray) -> np.ndarray:
+        xs = np.asarray(x_sharded)
+        out = np.zeros((self.row_plan.m, self.cfg.f), np.float32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            out[ids[valid]] = xs[d, valid, :self.cfg.f]
+        return out
+
+    def replicate_theta(self, theta: np.ndarray) -> jnp.ndarray:
+        f_pad = self.cfg.f_pad
+        out = np.zeros((theta.shape[0], f_pad), np.float32)
+        out[:, :theta.shape[1]] = theta
+        return jax.device_put(out, self._repl)
+
+    # ---------- jitted sharded steps ----------
+    def _x_chunk_sm(self, width: int, r: int):
+        """shard_map-wrapped (unjitted) X-phase chunk update; cached per
+        shape so it can be composed inside larger jitted programs."""
+        key = ("x_sm", width, r, self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        def body(theta, x_shard, rows, nnz, cols, vals):
+            # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
+            xs = x_shard[0]
+            # zero-extend: padded cols (== n) must gather zeros
+            theta_ext = jnp.concatenate(
+                [theta, jnp.zeros((1, theta.shape[1]), theta.dtype)], axis=0)
+            a, b = _gram_local(theta_ext, cols[0], vals[0],
+                               cfg.gram_precision)
+            nnzf = nnz[0].astype(jnp.float32)
+            diag = nnzf * cfg.lam + (nnzf == 0)
+            a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
+                                                  dtype=jnp.float32)
+            x0 = jnp.take(xs, rows[0], axis=0, mode="fill", fill_value=0.0)
+            solved = solve(a, b, x0, solver=cfg.solver,
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+            solved = solved * (nnz[0] > 0)[:, None]
+            xs = xs.at[rows[0]].set(solved, mode="drop")
+            return xs[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS))
+        self._fn_cache[key] = sm
+        return sm
+
+    def _x_chunk_fn(self, width: int, r: int):
+        key = ("x", width, r, self.cfg.solver)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self._x_chunk_sm(width, r),
+                                          donate_argnums=(1,))
+        return self._fn_cache[key]
+
+    def _theta_block_sm(self, width: int, c: int):
+        key = ("theta_sm", width, c, self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        def body(x_shard, theta, rows, nnz_local, nnz_total, cols, vals):
+            xs_ext = jnp.concatenate(
+                [x_shard[0],
+                 jnp.zeros((1, x_shard.shape[-1]), x_shard.dtype)], axis=0)
+            a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
+                                         cfg.gram_precision)
+            # ICI all-reduce of partial Gram/RHS — replaces the reference's
+            # anchor-GPU memcpy+saxpy loop (hugewiki.cu:2703-2730).
+            a = jax.lax.psum(a_part, DATA_AXIS)
+            b = jax.lax.psum(b_part, DATA_AXIS)
+            nnzf = nnz_total.astype(jnp.float32)
+            diag = nnzf * cfg.lam + (nnzf == 0)
+            a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
+                                                  dtype=jnp.float32)
+            th0 = jnp.take(theta, rows, axis=0, mode="fill", fill_value=0.0)
+            solved = solve(a, b, th0, solver=cfg.solver,
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+            solved = solved * (nnzf > 0)[:, None]
+            theta = theta.at[rows].set(solved, mode="drop")
+            # free train-RMSE pieces (exact identity, ops/rmse.py)
+            from cumf_als_tpu.ops.rmse import fused_sq_err
+            vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
+                               DATA_AXIS)
+            a_noreg = a - diag[:, None, None] * jnp.eye(
+                a.shape[-1], dtype=jnp.float32)
+            xt = solved
+            cross = jnp.sum(xt * b, axis=-1)
+            aq = jnp.einsum("rfg,rg->rf", a_noreg, xt,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            quad = jnp.sum(xt * aq, axis=-1)
+            se = jnp.sum(jnp.maximum(vsq - 2.0 * cross + quad, 0.0))
+            return theta, se
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(), P(DATA_AXIS), P(),
+                      P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()))
+        self._fn_cache[key] = sm
+        return sm
+
+    def _theta_block_fn(self, width: int, c: int):
+        key = ("theta", width, c, self.cfg.solver)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self._theta_block_sm(width, c),
+                                          donate_argnums=(1,))
+        return self._fn_cache[key]
+
+    # ---------- one fully-jitted training step ----------
+    def device_plan(self):
+        """All plan arrays placed with their shardings, as pytrees."""
+        chunk_data = tuple(
+            (jax.device_put(ch.rows, self._shard),
+             jax.device_put(ch.nnz, self._shard),
+             jax.device_put(ch.cols, self._shard),
+             jax.device_put(ch.vals, self._shard))
+            for ch in self.row_plan.chunks)
+        block_data = tuple(
+            (jax.device_put(bl.rows, self._repl),
+             jax.device_put(bl.nnz_local, self._shard),
+             jax.device_put(bl.nnz_total, self._repl),
+             jax.device_put(bl.cols, self._shard),
+             jax.device_put(bl.vals, self._shard))
+            for bl in self.reduce_plan.blocks)
+        return chunk_data, block_data
+
+    def fused_iteration(self):
+        """One FULL ALS iteration (X phase + psum'd theta phase + train
+        sq-err) as a single jitted SPMD program. This is the form the MXU
+        pipeline likes best (XLA overlaps gathers, matmuls and the ICI
+        all-reduce across chunks) and the dryrun entry point for
+        multi-chip validation."""
+
+        def step(x_sharded, theta, chunk_data, block_data):
+            for (rows, nnz, cols, vals) in chunk_data:
+                sm = self._x_chunk_sm(int(vals.shape[-1]),
+                                      int(rows.shape[-1]))
+                x_sharded = sm(theta, x_sharded, rows, nnz, cols, vals)
+            se = jnp.zeros((), jnp.float32)
+            for (rows, nnz_local, nnz_total, cols, vals) in block_data:
+                sm = self._theta_block_sm(int(vals.shape[-1]),
+                                          int(rows.shape[0]))
+                theta, se_b = sm(x_sharded, theta, rows, nnz_local,
+                                 nnz_total, cols, vals)
+                se = se + se_b
+            return x_sharded, theta, se
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ---------- test RMSE ----------
+    def _build_coo_plan(self, coo: COOMatrix):
+        """Group COO entries by the device that owns their large-factor
+        row; local ids for x, global for theta."""
+        owner = np.zeros(self.row_plan.m, np.int32)
+        local = np.zeros(self.row_plan.m, np.int32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            owner[ids[valid]] = d
+            local[ids[valid]] = np.arange(
+                self.row_plan.m_loc, dtype=np.int32)[valid]
+        dev = owner[coo.row]
+        e_loc = max(int(np.max(np.bincount(dev, minlength=self.n_dev))), 1)
+        rows = np.full((self.n_dev, e_loc), self.row_plan.m_loc, np.int32)
+        cols = np.zeros((self.n_dev, e_loc), np.int32)
+        vals = np.zeros((self.n_dev, e_loc), np.float32)
+        wght = np.zeros((self.n_dev, e_loc), np.float32)
+        for d in range(self.n_dev):
+            sel = dev == d
+            k = int(sel.sum())
+            rows[d, :k] = local[coo.row[sel]]
+            cols[d, :k] = coo.col[sel]
+            vals[d, :k] = coo.data[sel]
+            wght[d, :k] = 1.0
+        return (jax.device_put(rows, self._shard),
+                jax.device_put(cols, self._shard),
+                jax.device_put(vals, self._shard),
+                jax.device_put(wght, self._shard), coo.nnz)
+
+    def _coo_sq_err_fn(self):
+        key = ("rmse",)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        def body(x_shard, theta, rows, cols, vals, wght):
+            xg = jnp.take(x_shard[0], rows[0], axis=0, mode="fill",
+                          fill_value=0.0)
+            tg = jnp.take(theta, cols[0], axis=0, mode="fill",
+                          fill_value=0.0)
+            pred = jnp.sum(xg * tg, axis=-1)
+            e = (vals[0] - pred) * wght[0]
+            return jax.lax.psum(jnp.sum(e * e), DATA_AXIS)
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P())
+        fn = jax.jit(sm)
+        self._fn_cache[key] = fn
+        return fn
+
+    # ---------- one full iteration (jittable end to end) ----------
+    def iteration(self, x_sharded, theta):
+        """One ALS iteration: X phase (model parallel), theta phase
+        (data parallel + psum). Returns (x, theta, train_sq_err)."""
+        for ch in self.row_plan.chunks:
+            fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
+            x_sharded = fn(theta, x_sharded,
+                           jax.device_put(ch.rows, self._shard),
+                           jax.device_put(ch.nnz, self._shard),
+                           jax.device_put(ch.cols, self._shard),
+                           jax.device_put(ch.vals, self._shard))
+        se_total = 0.0
+        for bl in self.reduce_plan.blocks:
+            fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
+            theta, se = fn(x_sharded, theta,
+                           jax.device_put(bl.rows, self._repl),
+                           jax.device_put(bl.nnz_local, self._shard),
+                           jax.device_put(bl.nnz_total, self._repl),
+                           jax.device_put(bl.cols, self._shard),
+                           jax.device_put(bl.vals, self._shard))
+            se_total += float(se)
+        return x_sharded, theta, se_total
+
+    def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
+        cfg = self.cfg
+        # zero empty small-factor rows (excluded from every block)
+        theta0 = theta0 * (np.diff(self.train_csc.indptr) > 0
+                           ).astype(np.float32)[:, None]
+        x = self.shard_x(x0)
+        theta = self.replicate_theta(theta0)
+        history: List[IterationMetrics] = []
+        if cfg.verbose:
+            print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
+                  f"f: {cfg.f}, nnz: {self.train_csr.nnz} ")
+            print(f"*******mesh: {self.n_dev} devices over axis "
+                  f"'{DATA_AXIS}'.")
+            print("*******start iterations...")
+        for it in range(cfg.iters):
+            t0 = seconds()
+            x, theta, se = self.iteration(x, theta)
+            theta.block_until_ready()
+            dt = seconds() - t0
+            train_rmse = float(np.sqrt(max(se, 0.0) / self.train_csr.nnz))
+            if cfg.verbose:
+                print(f"update X+theta run {dt:f} seconds (sharded, "
+                      f"{self.n_dev} devices).")
+                print(f"--------- Train RMSE in iter {it}: {train_rmse:f}")
+            test_rmse = float("nan")
+            if self._test_plan is not None:
+                rows, cols, vals, wght, nnz_test = self._test_plan
+                se_t = float(self._coo_sq_err_fn()(x, theta, rows, cols,
+                                                   vals, wght))
+                test_rmse = float(np.sqrt(se_t / nnz_test))
+                if cfg.verbose:
+                    print(f"--------- Test RMSE in iter {it}: "
+                          f"{test_rmse:f}")
+            history.append(IterationMetrics(it, train_rmse, test_rmse,
+                                            dt, 0.0, 0.0))
+        return ALSResult(x=self.unshard_x(x),
+                         theta=np.asarray(theta)[:, :cfg.f],
+                         history=history)

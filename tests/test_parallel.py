@@ -1,0 +1,97 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the sharded ALS
+must reproduce the single-device trajectory (the property the reference
+could never test without a 4-GPU box — SURVEY §4 item 7)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cumf_als_tpu.config import ALSConfig
+from cumf_als_tpu.data.synthetic import init_factors
+from cumf_als_tpu.models.als import do_als
+from cumf_als_tpu.parallel.mesh import make_mesh
+from cumf_als_tpu.parallel.plan import (assign_rows_balanced,
+                                        build_reduce_plan,
+                                        build_sharded_row_plan)
+from cumf_als_tpu.parallel.sharded_als import ShardedALS
+
+
+def _cfg(train, **kw):
+    base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
+                iters=3, verbose=False, debug_timing=False,
+                chunk_nnz=1 << 11, train_rmse_method="fused")
+    base.update(kw)
+    return ALSConfig(**base)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+class TestPlans:
+    def test_balanced_assignment(self):
+        rng = np.random.RandomState(0)
+        nnz = rng.randint(1, 1000, size=200).astype(np.int64)
+        assign = assign_rows_balanced(nnz, 4)
+        loads = [nnz[assign == d].sum() for d in range(4)]
+        assert max(loads) < 1.3 * min(loads)
+        counts = [int((assign == d).sum()) for d in range(4)]
+        assert max(counts) <= -(-200 // 4)
+
+    def test_row_plan_covers_all(self, small_problem):
+        train, _ = small_problem
+        plan = build_sharded_row_plan(train, 4, chunk_nnz=256)
+        seen = set()
+        for ch in plan.chunks:
+            for d in range(4):
+                for i in range(ch.rows.shape[1]):
+                    if ch.rows[d, i] < plan.m_loc:
+                        g = int(plan.global_ids[d, ch.rows[d, i]])
+                        assert g not in seen
+                        seen.add(g)
+        expect = {i for i in range(train.num_rows)
+                  if train.indptr[i + 1] > train.indptr[i]}
+        assert seen == expect
+
+    def test_reduce_plan_partials_sum_to_total(self, small_problem):
+        train, _ = small_problem
+        from cumf_als_tpu.utils.io import transpose_csr
+        csc = transpose_csr(train)
+        row_plan = build_sharded_row_plan(train, 4)
+        plan = build_reduce_plan(csc, row_plan, block_rows=16)
+        got_nnz = {}
+        for bl in plan.blocks:
+            for i, j in enumerate(bl.rows):
+                if j < plan.n:
+                    assert bl.nnz_local[:, i].sum() == bl.nnz_total[i]
+                    got_nnz[int(j)] = int(bl.nnz_total[i])
+        for j in range(csc.num_rows):
+            k = int(csc.indptr[j + 1] - csc.indptr[j])
+            if k:
+                assert got_nnz[j] == k
+
+
+class TestShardedEqualsSingle:
+    @pytest.mark.parametrize("solver", ["cholesky", "cg"])
+    def test_trajectory_matches_single_device(self, medium_problem, solver):
+        train, test = medium_problem
+        cfg = _cfg(train, solver=solver)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        single = do_als(train, None, test, th0, x0,
+                        cfg.replace(train_rmse_method="direct"))
+        sharded = ShardedALS(cfg, train, None, test, block_rows=64)
+        multi = sharded.run(x0, th0)
+        for a, b in zip(single.history, multi.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=2e-3)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
+        np.testing.assert_allclose(multi.x, single.x, rtol=2e-2, atol=2e-2)
+
+    def test_sharded_runs_on_subset_of_devices(self, small_problem):
+        train, test = small_problem
+        cfg = _cfg(train, iters=1)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=0)
+        sharded = ShardedALS(cfg, train, None, test, n_devices=2,
+                             block_rows=16)
+        res = sharded.run(x0, th0)
+        assert np.isfinite(res.history[-1].train_rmse)
