@@ -86,6 +86,15 @@ class ALSConfig:
     # "xla": bucketed gather + einsum path; "pallas": fused Pallas kernels
     # where available (falls back to xla per-op otherwise).
     backend: str = "xla"
+    # Panelized Gram: when the gather table exceeds panel_size rows, XLA
+    # can no longer stage it on-chip and random row-gathers drop to
+    # HBM rate (~2x slower, measured on v5e). If the updated factor's
+    # full (A, b) accumulators fit in panel_budget_bytes, the phase is
+    # restructured as per-panel partial Grams scatter-added into the
+    # accumulators ("auto"). "never" forces the direct path.
+    use_panels: str = "auto"       # auto | never
+    panel_size: int = 1 << 16
+    panel_budget_bytes: int = 2 << 30
 
     # --- checkpoint / resume (reference has none; SURVEY §5) ---
     checkpoint_dir: Optional[str] = None
@@ -121,6 +130,8 @@ class ALSConfig:
                 f"unknown train_rmse_method {self.train_rmse_method!r}")
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.use_panels not in ("auto", "never"):
+            raise ValueError(f"unknown use_panels {self.use_panels!r}")
 
     @property
     def f_pad(self) -> int:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -22,7 +23,8 @@ from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
-from cumf_als_tpu.ops.tiling import UpdatePlan, build_update_plan
+from cumf_als_tpu.ops.tiling import (PanelPlan, UpdatePlan,
+                                     build_panel_plan, build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds
 
@@ -51,7 +53,7 @@ class ALSResult:
 class DeviceChunk:
     """A plan chunk's arrays resident on device."""
 
-    __slots__ = ("width", "rows", "nnz", "cols", "vals")
+    __slots__ = ("width", "rows", "nnz", "cols", "vals", "panel")
 
     def __init__(self, chunk, device=None):
         self.width = chunk.width
@@ -59,6 +61,47 @@ class DeviceChunk:
         self.nnz = jnp.asarray(chunk.nnz)
         self.cols = jnp.asarray(chunk.cols)
         self.vals = jnp.asarray(chunk.vals)
+        self.panel = getattr(chunk, "panel", 0)
+
+
+@partial(jax.jit, static_argnames=("panel_size", "precision"),
+         donate_argnums=(1, 2))
+def _panel_accum(table_pad, a_buf, b_buf, panel_start, cols, vals, rows,
+                 panel_size, precision):
+    """Partial Gram/RHS of one panel chunk, scatter-added into the
+    full-phase accumulators. The sliced panel (<= panel_size rows) is
+    small enough for XLA to stage on chip, which is the whole point."""
+    from cumf_als_tpu.ops.gram import _PRECISIONS
+    f = table_pad.shape[1]
+    tp = jax.lax.dynamic_slice(table_pad, (panel_start, 0),
+                               (panel_size, f))
+    tp = jnp.concatenate([tp, jnp.zeros((1, f), tp.dtype)], axis=0)
+    g = jnp.take(tp, cols, axis=0)
+    prec = _PRECISIONS[precision]
+    a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+    b_part = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+    a_buf = a_buf.at[rows].add(a_part, mode="drop")
+    b_buf = b_buf.at[rows].add(b_part, mode="drop")
+    return a_buf, b_buf
+
+
+@partial(jax.jit, static_argnames=("batch", "solver", "cg_iters"))
+def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
+                 cg_iters, cg_tol):
+    from cumf_als_tpu.ops.solve import solve as _solve
+    f = a_buf.shape[-1]
+    a = jax.lax.dynamic_slice(a_buf, (lo, 0, 0), (batch, f, f))
+    b = jax.lax.dynamic_slice(b_buf, (lo, 0), (batch, f))
+    x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
+    nnz = jax.lax.dynamic_slice(row_nnz, (lo,), (batch,))
+    nnzf = nnz.astype(jnp.float32)
+    diag = nnzf * lam + (nnzf == 0)
+    a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
+    out = _solve(a, b, x0, solver=solver, cg_iters=cg_iters,
+                 cg_tol=cg_tol)
+    return out * (nnzf > 0)[:, None]
 
 
 class ALS:
@@ -78,17 +121,45 @@ class ALS:
         self.train_csc = train_csc or transpose_csr(train_csr)
         self.test_coo = test_coo
         t0 = seconds()
-        self.plan_x = self._device_plan(build_update_plan(
-            self.train_csr, cfg.min_bucket_width, cfg.max_bucket_width,
-            cfg.chunk_nnz, cfg.chunk_rows))
-        self.plan_theta = self._device_plan(build_update_plan(
-            self.train_csc, cfg.min_bucket_width, cfg.max_bucket_width,
-            cfg.chunk_nnz, cfg.chunk_rows))
+        self.plan_x = self._build_phase_plan(self.train_csr)
+        self.plan_theta = self._build_phase_plan(self.train_csc)
         self.plan_seconds = seconds() - t0
 
-    @staticmethod
-    def _device_plan(plan: UpdatePlan):
-        return plan, [DeviceChunk(c) for c in plan.chunks]
+    def _phase_strategy(self, csr: CSRMatrix) -> str:
+        """Pick direct vs panelized Gram for one phase (see
+        ALSConfig.use_panels)."""
+        cfg = self.cfg
+        if cfg.use_panels == "never":
+            return "direct"
+        a_bytes = (csr.num_rows + 1) * cfg.f_pad * cfg.f_pad * 4
+        margin = max(1, cfg.panel_size // 8)
+        if csr.num_cols > cfg.panel_size + margin and \
+                a_bytes <= cfg.panel_budget_bytes:
+            return "panel"
+        return "direct"
+
+    def _build_phase_plan(self, csr: CSRMatrix):
+        cfg = self.cfg
+        if self._phase_strategy(csr) == "panel":
+            plan = build_panel_plan(csr, cfg.panel_size,
+                                    cfg.min_bucket_width, cfg.chunk_nnz,
+                                    cfg.chunk_rows)
+        else:
+            plan = build_update_plan(csr, cfg.min_bucket_width,
+                                     cfg.max_bucket_width, cfg.chunk_nnz,
+                                     cfg.chunk_rows)
+        return self._device_plan(plan)
+
+    def _device_plan(self, plan):
+        aux = {}
+        if isinstance(plan, PanelPlan):
+            batch = self.cfg.chunk_rows
+            m_pad = -(-(plan.num_rows + 1) // batch) * batch
+            nnz_pad = np.zeros(m_pad, np.int32)
+            nnz_pad[:plan.num_rows] = plan.row_nnz
+            aux["row_nnz_pad"] = jnp.asarray(nnz_pad)
+            aux["m_pad"] = m_pad
+        return plan, [DeviceChunk(c) for c in plan.chunks], aux
 
     # ----- factor padding helpers -----
     def _pad_f(self, arr: np.ndarray) -> jnp.ndarray:
@@ -105,10 +176,50 @@ class ALS:
     # ----- one phase -----
     def _update_phase(self, table: jnp.ndarray, current: jnp.ndarray,
                       plan_pair, collect_rmse_terms: bool):
+        if isinstance(plan_pair[0], PanelPlan):
+            if collect_rmse_terms:
+                raise NotImplementedError(
+                    "fused train RMSE requires the direct phase")
+            return self._update_phase_panelized(table, current, plan_pair)
+        return self._update_phase_direct(table, current, plan_pair,
+                                         collect_rmse_terms)
+
+    def _update_phase_panelized(self, table, current, plan_pair):
+        """Panelized Gram: per-panel partial (A, b) scatter-added into
+        full accumulators, then batched solves. See PanelPlan."""
+        cfg = self.cfg
+        plan, chunks, aux = plan_pair
+        f = table.shape[1]
+        s = plan.panel_size
+        table_pad = jnp.pad(
+            table, ((0, plan.n_panels * s - table.shape[0]), (0, 0)))
+        m, m_pad = plan.num_rows, aux["m_pad"]
+        a_buf = jnp.zeros((m_pad, f, f), jnp.float32)
+        b_buf = jnp.zeros((m_pad, f), jnp.float32)
+        for ch in chunks:
+            a_buf, b_buf = _panel_accum(
+                table_pad, a_buf, b_buf,
+                jnp.asarray(ch.panel * s, jnp.int32), ch.cols, ch.vals,
+                ch.rows, s, cfg.gram_precision)
+        x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
+        batch = cfg.chunk_rows
+        outs = []
+        for lo in range(0, m_pad, batch):
+            outs.append(_solve_slice(
+                a_buf, b_buf, x0_full, aux["row_nnz_pad"],
+                jnp.asarray(lo, jnp.int32), cfg.lam, batch, cfg.solver,
+                cfg.cg_iters, cfg.cg_tol))
+        new = jnp.concatenate(outs, axis=0)[:m] if len(outs) > 1 \
+            else outs[0][:m]
+        return new, 0.0
+
+    def _update_phase_direct(self, table: jnp.ndarray,
+                             current: jnp.ndarray, plan_pair,
+                             collect_rmse_terms: bool):
         """Solve every row of `current` against fixed `table`. Returns the
         new factor and, when requested, the fused-RMSE accumulators."""
         cfg = self.cfg
-        plan, chunks = plan_pair
+        plan, chunks, _aux = plan_pair
         table_ext = extend_table(table)
         se_acc = 0.0
         for ch in chunks:

@@ -1,0 +1,158 @@
+"""ctypes bindings for the native data plane (libdataplane.so).
+
+Every entry point has a numpy fallback; `available()` reports whether the
+shared library was found/loadable. Build with:
+    make -C cumf_als_tpu/native
+(or `python -m cumf_als_tpu.native.build`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libdataplane.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.csr_transpose.restype = ctypes.c_int
+    lib.csr_transpose.argtypes = [ctypes.c_int64] * 3 + [
+        i64p, i32p, f32p, i64p, i32p, f32p]
+    lib.coo_to_csr.restype = ctypes.c_int
+    lib.coo_to_csr.argtypes = [ctypes.c_int64] * 3 + [
+        i32p, i32p, f32p, i64p, i32p, f32p]
+    lib.materialize_chunk.restype = ctypes.c_int
+    lib.materialize_chunk.argtypes = [
+        i64p, i32p, f32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        i32p, f32p]
+    lib.expand_indptr.restype = ctypes.c_int
+    lib.expand_indptr.argtypes = [ctypes.c_int64, i64p, i32p]
+    lib.sum_squares.restype = ctypes.c_double
+    lib.sum_squares.argtypes = [f32p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile libdataplane.so in place. Returns success."""
+    try:
+        subprocess.run(["make", "-C", _DIR],
+                       check=True,
+                       capture_output=quiet)
+        return _load() is not None
+    except Exception:
+        return False
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def csr_transpose(m: int, n: int, indptr: np.ndarray, indices: np.ndarray,
+                  data: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    assert lib is not None
+    nnz = indices.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float32)
+    out_indptr = np.zeros(n + 1, np.int64)
+    out_indices = np.empty(nnz, np.int32)
+    out_data = np.empty(nnz, np.float32)
+    rc = lib.csr_transpose(m, n, nnz, _p(indptr, ctypes.c_int64),
+                           _p(indices, ctypes.c_int32),
+                           _p(data, ctypes.c_float),
+                           _p(out_indptr, ctypes.c_int64),
+                           _p(out_indices, ctypes.c_int32),
+                           _p(out_data, ctypes.c_float))
+    if rc != 0:
+        raise ValueError("csr_transpose: column index out of range")
+    return out_indptr, out_indices, out_data
+
+
+def coo_to_csr(m: int, n: int, row: np.ndarray, col: np.ndarray,
+               data: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    assert lib is not None
+    nnz = row.shape[0]
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    data = np.ascontiguousarray(data, np.float32)
+    out_indptr = np.zeros(m + 1, np.int64)
+    out_indices = np.empty(nnz, np.int32)
+    out_data = np.empty(nnz, np.float32)
+    rc = lib.coo_to_csr(m, n, nnz, _p(row, ctypes.c_int32),
+                        _p(col, ctypes.c_int32), _p(data, ctypes.c_float),
+                        _p(out_indptr, ctypes.c_int64),
+                        _p(out_indices, ctypes.c_int32),
+                        _p(out_data, ctypes.c_float))
+    if rc != 0:
+        raise ValueError("coo_to_csr: index out of range")
+    return out_indptr, out_indices, out_data
+
+
+def materialize_chunk(indptr: np.ndarray, indices: np.ndarray,
+                      data: np.ndarray, rows: np.ndarray, width: int,
+                      pad_col: int, pad_row: int, num_rows: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    lib = _load()
+    assert lib is not None
+    r = rows.shape[0]
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float32)
+    rows = np.ascontiguousarray(rows, np.int32)
+    rows_out = np.empty(r, np.int32)
+    nnz_out = np.empty(r, np.int32)
+    cols_out = np.empty((r, width), np.int32)
+    vals_out = np.empty((r, width), np.float32)
+    rc = lib.materialize_chunk(
+        _p(indptr, ctypes.c_int64), _p(indices, ctypes.c_int32),
+        _p(data, ctypes.c_float), _p(rows, ctypes.c_int32), r, width,
+        pad_col, pad_row, num_rows, _p(rows_out, ctypes.c_int32),
+        _p(nnz_out, ctypes.c_int32), _p(cols_out, ctypes.c_int32),
+        _p(vals_out, ctypes.c_float))
+    if rc != 0:
+        raise ValueError("materialize_chunk: row longer than bucket width")
+    return rows_out, nnz_out, cols_out, vals_out
+
+
+def expand_indptr(indptr: np.ndarray, nnz: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    m = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    out = np.empty(nnz, np.int32)
+    lib.expand_indptr(m, _p(indptr, ctypes.c_int64),
+                      _p(out, ctypes.c_int32))
+    return out
+
+
+def sum_squares(x: np.ndarray) -> float:
+    lib = _load()
+    assert lib is not None
+    x = np.ascontiguousarray(x, np.float32)
+    return float(lib.sum_squares(_p(x, ctypes.c_float), x.shape[0]))

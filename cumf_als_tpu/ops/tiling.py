@@ -125,8 +125,132 @@ def build_update_plan(
                       padded_nnz=padded_total)
 
 
+@dataclasses.dataclass
+class PanelChunk:
+    """A bucket chunk whose gathers address one column *panel* only.
+
+    `cols` are panel-local (0..panel_size-1), padded with `panel_size`
+    (the zero row appended to the sliced panel). The chunk produces
+    *partial* (A, b) contributions scatter-added into full-phase
+    accumulators keyed by `rows`.
+    """
+    panel: int
+    width: int
+    rows: np.ndarray   # (R,) int32, == num_rows for dummy tails
+    nnz: np.ndarray    # (R,) int32 subrow length
+    cols: np.ndarray   # (R, P) int32 panel-local
+    vals: np.ndarray   # (R, P) float32
+
+
+@dataclasses.dataclass
+class PanelPlan:
+    """Panelized phase layout: used when the gather table is too large to
+    stage in VMEM (~16 ns/row from HBM vs ~8 ns/row when XLA keeps a
+    <=64k-row table on chip — measured on v5e) but the factor being
+    updated is small enough to hold full (A, b) accumulators. Each row's
+    (sorted) column list is split at panel boundaries into subrows; the
+    Gram becomes a sum of per-panel partial Grams. This is the TPU
+    re-design of the SCAN_BATCH sliding window (reference als.cu:454-480)
+    as cache blocking instead of shared-memory staging."""
+    num_rows: int
+    num_cols: int
+    panel_size: int
+    n_panels: int
+    chunks: List[PanelChunk]
+    row_nnz: np.ndarray    # (num_rows,) int32 total nnz per row
+    true_nnz: int
+    padded_nnz: int
+
+    @property
+    def expansion(self) -> float:
+        return self.padded_nnz / max(1, self.true_nnz)
+
+
+def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
+                     min_width: int = 8, chunk_nnz: int = 1 << 22,
+                     chunk_rows: int = 1 << 14) -> PanelPlan:
+    """Split each row's column list at panel boundaries (cols are sorted
+    within rows, so subrows are contiguous slices), then bucket subrows
+    by power-of-two width per (panel, width)."""
+    m = csr.num_rows
+    n_panels = -(-csr.num_cols // panel_size)
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+
+    # subrow table: (row, panel, start_offset, length)
+    sub_rows, sub_panel, sub_off, sub_len = [], [], [], []
+    edges = np.arange(1, n_panels) * panel_size
+    for i in range(m):
+        lo, hi = int(csr.indptr[i]), int(csr.indptr[i + 1])
+        if hi == lo:
+            continue
+        cuts = np.searchsorted(csr.indices[lo:hi], edges)
+        bounds = np.concatenate([[0], cuts, [hi - lo]])
+        for p in range(n_panels):
+            ln = int(bounds[p + 1] - bounds[p])
+            if ln:
+                sub_rows.append(i)
+                sub_panel.append(p)
+                sub_off.append(lo + int(bounds[p]))
+                sub_len.append(ln)
+    sub_rows = np.asarray(sub_rows, np.int32)
+    sub_panel = np.asarray(sub_panel, np.int32)
+    sub_off = np.asarray(sub_off, np.int64)
+    sub_len = np.asarray(sub_len, np.int64)
+
+    max_len = int(sub_len.max()) if sub_len.size else 1
+    widths = []
+    w = max(8, _next_pow2(min_width))
+    top = max(w, _next_pow2(max_len))
+    while w <= top:
+        widths.append(w)
+        w *= 2
+    widx = np.searchsorted(widths, sub_len)
+
+    chunks: List[PanelChunk] = []
+    padded = 0
+    for p in range(n_panels):
+        for b, width in enumerate(widths):
+            sel = np.nonzero((sub_panel == p) & (widx == b))[0]
+            if sel.size == 0:
+                continue
+            rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
+            for lo_i in range(0, sel.size, rows_per_chunk):
+                part = sel[lo_i:lo_i + rows_per_chunk]
+                r_pad = rows_per_chunk if sel.size >= rows_per_chunk \
+                    else part.size
+                rows = np.full(r_pad, m, np.int32)
+                nnz = np.zeros(r_pad, np.int32)
+                cols = np.full((r_pad, width), panel_size, np.int32)
+                vals = np.zeros((r_pad, width), np.float32)
+                base = p * panel_size
+                for k, s in enumerate(part):
+                    ln = int(sub_len[s])
+                    off = int(sub_off[s])
+                    rows[k] = sub_rows[s]
+                    nnz[k] = ln
+                    cols[k, :ln] = csr.indices[off:off + ln] - base
+                    vals[k, :ln] = csr.data[off:off + ln]
+                chunks.append(PanelChunk(panel=p, width=width, rows=rows,
+                                         nnz=nnz, cols=cols, vals=vals))
+                padded += r_pad * width
+    return PanelPlan(num_rows=m, num_cols=csr.num_cols,
+                     panel_size=panel_size, n_panels=n_panels,
+                     chunks=chunks,
+                     row_nnz=row_nnz.astype(np.int32),
+                     true_nnz=int(row_nnz.sum()), padded_nnz=padded)
+
+
 def _materialize_chunk(csr: CSRMatrix, rows: np.ndarray, width: int,
                        r_pad: int) -> PlanChunk:
+    from cumf_als_tpu import native
+    if native.available():
+        rows_in = np.full(r_pad, -1, np.int32)
+        rows_in[:rows.size] = rows
+        rows_out, nnz, cols, vals = native.materialize_chunk(
+            np.asarray(csr.indptr, np.int64), csr.indices, csr.data,
+            rows_in, width, csr.num_cols, csr.num_rows, csr.num_rows)
+        return PlanChunk(width=width, rows=rows_out, nnz=nnz, cols=cols,
+                         vals=vals)
     r = rows.size
     nnz = np.diff(csr.indptr)[rows].astype(np.int32)
     offs = csr.indptr[rows].astype(np.int64)

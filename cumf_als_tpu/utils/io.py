@@ -139,8 +139,18 @@ def write_dataset(data_dir: str, train_csr: CSRMatrix,
 def transpose_csr(csr: CSRMatrix) -> CSRMatrix:
     """CSR -> CSR of the transpose (i.e. the CSC arrays of the original),
     with int64-safe counting for hugewiki-scale nnz (the reference is
-    careful about the same overflow, hugewiki.cu:2299)."""
+    careful about the same overflow, hugewiki.cu:2299). Uses the native
+    C++ counting-sort when libdataplane.so is built (one pass, no argsort
+    — the scalable path for 1e9+ nnz)."""
     n = csr.num_cols
+    from cumf_als_tpu import native
+    if native.available():
+        indptr, indices, data = native.csr_transpose(
+            csr.num_rows, n, np.asarray(csr.indptr, np.int64),
+            csr.indices, csr.data)
+        out_dtype = np.int32 if csr.nnz < 2**31 else np.int64
+        return CSRMatrix(indptr=indptr.astype(out_dtype), indices=indices,
+                         data=data, num_rows=n, num_cols=csr.num_rows)
     counts = np.bincount(csr.indices, minlength=n).astype(np.int64)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
@@ -158,8 +168,16 @@ def transpose_csr(csr: CSRMatrix) -> CSRMatrix:
 
 def coo_to_csr(coo: COOMatrix) -> CSRMatrix:
     """COO -> CSR with column indices sorted within each row, matching
-    scipy's tocsr output used by the prep scripts."""
+    scipy's tocsr output used by the prep scripts. Native two-pass
+    counting sort when libdataplane.so is built."""
     m = coo.num_rows
+    from cumf_als_tpu import native
+    if native.available():
+        indptr, indices, data = native.coo_to_csr(
+            m, coo.num_cols, coo.row, coo.col, coo.data)
+        out_dtype = np.int32 if coo.nnz < 2**31 else np.int64
+        return CSRMatrix(indptr=indptr.astype(out_dtype), indices=indices,
+                         data=data, num_rows=m, num_cols=coo.num_cols)
     counts = np.bincount(coo.row, minlength=m).astype(np.int64)
     indptr = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
