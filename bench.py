@@ -75,6 +75,9 @@ def main() -> int:
                    choices=["highest", "high", "default"])
     p.add_argument("--factor-dtype", default="f32",
                    choices=["f32", "bf16"])
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--use-panels", default="auto",
+                   choices=["auto", "never"])
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
     args = p.parse_args()
@@ -99,6 +102,7 @@ def main() -> int:
                     iters=args.iters, solver=args.solver,
                     gram_precision=args.gram_precision,
                     factor_dtype=args.factor_dtype,
+                    backend=args.backend, use_panels=args.use_panels,
                     train_rmse_method="fused", verbose=False,
                     debug_timing=False)
     t0 = time.monotonic()
@@ -133,6 +137,7 @@ def main() -> int:
         "total_seconds": round(total, 2),
         "gram_gflops": round(gflops, 1),
         "solver": args.solver,
+        "backend": args.backend,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out), flush=True)

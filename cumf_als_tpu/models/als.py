@@ -221,21 +221,34 @@ class ALS:
         cfg = self.cfg
         plan, chunks, _aux = plan_pair
         table_ext = extend_table(table)
+        use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import (fused_available,
+                                                       gather_gram_cg)
+            use_pallas = fused_available()
         se_acc = 0.0
         for ch in chunks:
-            a, b = gram_rhs(table_ext, ch.cols, ch.vals, ch.nnz, cfg.lam,
-                            precision=cfg.gram_precision,
-                            factor_dtype=cfg.factor_dtype,
-                            gram_dtype=cfg.gram_dtype)
             x0 = jnp.take(current, ch.rows, axis=0, mode="fill",
                           fill_value=0.0)
-            solved = solve(a, b, x0, solver=cfg.solver,
-                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
-            solved = solved * (ch.nnz > 0)[:, None]
+            if use_pallas:
+                solved, se = gather_gram_cg(
+                    table_ext, ch.cols, ch.vals, ch.nnz, x0, cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype)
+                if collect_rmse_terms:
+                    se_acc += float(jnp.sum(se))
+            else:
+                a, b = gram_rhs(table_ext, ch.cols, ch.vals, ch.nnz,
+                                cfg.lam, precision=cfg.gram_precision,
+                                factor_dtype=cfg.factor_dtype,
+                                gram_dtype=cfg.gram_dtype)
+                solved = solve(a, b, x0, solver=cfg.solver,
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                solved = solved * (ch.nnz > 0)[:, None]
+                if collect_rmse_terms:
+                    se_acc += float(fused_sq_err(a, b, ch.vals, ch.nnz,
+                                                 cfg.lam, solved))
             current = current.at[ch.rows].set(solved, mode="drop")
-            if collect_rmse_terms:
-                se_acc += float(fused_sq_err(a, b, ch.vals, ch.nnz,
-                                             cfg.lam, solved))
         return current, se_acc
 
     # ----- the training loop -----

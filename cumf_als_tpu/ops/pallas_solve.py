@@ -1,0 +1,197 @@
+"""Fused Pallas Gram+CG kernel: the hermitian+solver hot path on-chip.
+
+The reference tried to fuse Gram formation and CG into one CUDA kernel
+(alsUpdateFeature100, reference cg.cu:726-1189) and abandoned it for
+register pressure (als.cu:809-812). On TPU the fusion works: a Pallas
+kernel tiles the gathered factor tensor G (R, P, f) over the contraction
+axis, accumulates the f x f Gram blocks in VMEM via the MXU, adds the
+regularizer, and runs the reference's CG iteration (warm start, fixed
+iteration count, per-system early-exit masking — cg.cu:36-231) on the
+VPU with A never leaving VMEM. HBM traffic drops from
+(G + A write + 6x A matvec reads) to (G read + x write).
+
+The gather producing G stays in XLA (Mosaic has no vectorized row
+gather; measured XLA gather is the fastest primitive on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _p_block(width: int) -> int:
+    """Contraction-axis block size that divides every bucket width
+    (widths are 2^k or 3*2^k)."""
+    if width <= 512:
+        return width
+    return 512 if width % 512 == 0 else 384
+
+
+def _row_block(width: int, f: int) -> int:
+    """Rows per grid step: bound VMEM (A scratch R_b*f*f*4 + G block)."""
+    budget = 6 << 20
+    g_bytes = 4 * _p_block(width) * f
+    a_bytes = 4 * f * f + 4 * f * 4
+    rb = max(1, budget // (g_bytes + a_bytes))
+    # power-of-two, <= 256, and must divide the (pow2-or-3*2^k) row count
+    rb = min(256, 1 << (rb.bit_length() - 1))
+    return max(1, rb)
+
+
+def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
+            b_scr, r2_scr,
+            *, lam: float, cg_iters: int, cg_tol: float, n_p: int):
+    pb = pl.program_id(1)
+    f = out_ref.shape[-1]
+
+    @pl.when(pb == 0)
+    def _():
+        a_scr[...] = jnp.zeros_like(a_scr)
+        b_scr[...] = jnp.zeros_like(b_scr)
+        r2_scr[...] = jnp.zeros_like(r2_scr)
+
+    g = g_ref[...].astype(jnp.float32)              # (R_b, P_b, f)
+    a_scr[...] += jax.lax.dot_general(
+        g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (R_b, f, f)
+    vblk = vals_ref[...]
+    b_scr[...] += jnp.sum(vblk[:, :, None] * g, axis=1)
+    r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
+
+    @pl.when(pb == n_p - 1)
+    def _():
+        nnz = nnz_ref[...][:, 0]                     # (R_b,)
+        diag = nnz * lam + (nnz == 0).astype(jnp.float32)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (f, f), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+               ).astype(jnp.float32)
+        a = a_scr[...] + diag[:, None, None] * eye[None]
+        b = b_scr[...]
+
+        def matvec(p):
+            return jnp.sum(a * p[:, None, :], axis=-1)
+
+        x = x0_ref[...].astype(jnp.float32)
+        r = b - matvec(x)
+        p = r
+        rsold = jnp.sum(r * r, axis=-1)
+        active = jnp.ones_like(rsold, dtype=jnp.bool_)
+
+        def body(_, carry):
+            x, r, p, rsold, active = carry
+            ap = matvec(p)
+            pap = jnp.sum(p * ap, axis=-1)
+            safe = jnp.where(jnp.abs(pap) > 0, pap, 1.0)
+            alpha = jnp.where(active & (pap != 0), rsold / safe, 0.0)
+            x = x + alpha[:, None] * p
+            r = r - alpha[:, None] * ap
+            rsnew = jnp.sum(r * r, axis=-1)
+            still = active & (rsnew >= cg_tol)
+            beta = jnp.where(still,
+                             rsnew / jnp.where(rsold > 0, rsold, 1.0),
+                             0.0)
+            p = jnp.where(still[:, None], r + beta[:, None] * p, p)
+            rsold = jnp.where(still, rsnew, rsold)
+            return x, r, p, rsold, still
+
+        x, *_ = jax.lax.fori_loop(0, cg_iters, body,
+                                  (x, r, p, rsold, active))
+        x = x * (nnz > 0).astype(jnp.float32)[:, None]
+        out_ref[...] = x
+        # free train-RMSE pieces (exact identity, see ops/rmse.py):
+        # se_row = sum r^2 - 2 x.b + x^T (A - diag I) x
+        cross = jnp.sum(x * b, axis=-1)
+        aq = jnp.sum(a * x[:, None, :], axis=-1)
+        quad = jnp.sum(x * aq, axis=-1) - diag * jnp.sum(x * x, axis=-1)
+        se_ref[...] = jnp.maximum(
+            r2_scr[...][:, 0] - 2.0 * cross + quad, 0.0)[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lam", "cg_iters", "cg_tol"))
+def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
+                  x0: jnp.ndarray, lam: float, cg_iters: int = 6,
+                  cg_tol: float = 1e-4):
+    """Solve one bucket chunk: G (R, P, f) gathered factors, vals (R, P),
+    nnz (R,), x0 (R, f) warm start. Returns (x (R, f), se (R, 1)) where
+    se holds the per-row training squared error of the solved factors."""
+    r, p, f = g.shape
+    pb = _p_block(p)
+    rb = _row_block(p, f)
+    while r % rb:
+        rb //= 2
+    n_p = p // pb
+    grid = (r // rb, n_p)
+    nnz_f = nnz.astype(jnp.float32).reshape(r, 1)
+    kernel = functools.partial(_kernel, lam=float(lam),
+                               cg_iters=int(cg_iters),
+                               cg_tol=float(cg_tol), n_p=n_p)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, pb, f), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, f), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, f), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, f, f), jnp.float32),
+            pltpu.VMEM((rb, f), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+        ],
+    )(g, vals, nnz_f, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "cg_iters", "cg_tol",
+                                             "factor_dtype"))
+def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
+                   cg_tol=1e-4, factor_dtype="f32"):
+    """XLA gather feeding the fused kernel: one jit for the whole chunk
+    update. table_ext is the zero-extended fixed factor."""
+    g = jnp.take(table_ext, cols, axis=0)
+    if factor_dtype == "bf16":
+        g = g.astype(jnp.bfloat16)
+    return fused_gram_cg(g, vals, nnz, x0, lam, cg_iters=cg_iters,
+                         cg_tol=cg_tol)
+
+
+_STATUS: Optional[bool] = None
+
+
+def fused_available() -> bool:
+    """Probe-compile the kernel once (Mosaic support varies by
+    toolchain; fall back to the XLA path when unavailable)."""
+    global _STATUS
+    if _STATUS is None:
+        try:
+            g = jnp.ones((8, 16, 128), jnp.float32)
+            v = jnp.ones((8, 16), jnp.float32)
+            n = jnp.full((8,), 16, jnp.int32)
+            x0 = jnp.zeros((8, 128), jnp.float32)
+            out, _se = fused_gram_cg(g, v, n, x0, 0.1)
+            _STATUS = bool(np.isfinite(np.asarray(out)).all())
+        except Exception:
+            _STATUS = False
+    return _STATUS

@@ -65,6 +65,33 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
+def make_width_grid(min_width: int, max_len: int,
+                    fine: bool = True) -> List[int]:
+    """Bucket widths: powers of two, plus 3*2^k mid-points when `fine`.
+    The mid-points cut the mean pow2 padding from ~1.33x to ~1.17x —
+    padded rows cost full gather time on TPU (the gather is row-rate
+    bound), so expansion is wall-clock, not just memory."""
+    grid = set()
+    w = max(8, _next_pow2(min_width))
+    top = max(w, _next_pow2(max(1, max_len)))
+    while w <= top:
+        grid.add(w)
+        if fine:
+            grid.add(w * 3 // 2)
+        w *= 2
+    widths = sorted(grid)
+    # keep only up to the smallest width covering max_len
+    cut = next(x for x in widths if x >= max_len)
+    return [x for x in widths if x <= cut]
+
+
+def _round_rows(r: int, cap: int) -> int:
+    """Row-count shape for a final (ragged) chunk: next power of two,
+    capped — bounds dummy-tail padding at <2x instead of filling the
+    whole chunk with dummies."""
+    return min(cap, max(8, _next_pow2(r)))
+
+
 def build_update_plan(
     csr: CSRMatrix,
     min_width: int = 8,
@@ -86,12 +113,7 @@ def build_update_plan(
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     max_nnz = int(row_nnz.max()) if row_nnz.size else 0
     if widths is None:
-        widths = []
-        w = max(8, _next_pow2(min_width))
-        top = max(w, _next_pow2(max(1, max_nnz)))
-        while w <= top:
-            widths.append(w)
-            w *= 2
+        widths = make_width_grid(min_width, max_nnz)
     widths = sorted(set(int(w) for w in widths))
 
     # Assign each row the smallest width >= its nnz (empty rows are left
@@ -114,9 +136,11 @@ def build_update_plan(
         for lo in range(0, rows_b.size, rows_per_chunk):
             rows_c = rows_b[lo:lo + rows_per_chunk]
             r = rows_c.size
-            # Pad the chunk's row count so every chunk of a bucket shares
-            # one compiled shape (last chunk gets dummy tail rows).
-            r_pad = rows_per_chunk if rows_b.size >= rows_per_chunk else r
+            # Full chunks share one compiled shape; the ragged final
+            # chunk is rounded up to a power of two instead of being
+            # filled with dummy rows.
+            r_pad = rows_per_chunk if r == rows_per_chunk else \
+                _round_rows(r, rows_per_chunk)
             chunk = _materialize_chunk(csr, rows_c, width, r_pad)
             chunks.append(chunk)
             padded_total += chunk.padded_nnz
@@ -198,12 +222,7 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
     sub_len = np.asarray(sub_len, np.int64)
 
     max_len = int(sub_len.max()) if sub_len.size else 1
-    widths = []
-    w = max(8, _next_pow2(min_width))
-    top = max(w, _next_pow2(max_len))
-    while w <= top:
-        widths.append(w)
-        w *= 2
+    widths = make_width_grid(min_width, max_len)
     widx = np.searchsorted(widths, sub_len)
 
     chunks: List[PanelChunk] = []
@@ -216,8 +235,8 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
             rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
             for lo_i in range(0, sel.size, rows_per_chunk):
                 part = sel[lo_i:lo_i + rows_per_chunk]
-                r_pad = rows_per_chunk if sel.size >= rows_per_chunk \
-                    else part.size
+                r_pad = rows_per_chunk if part.size == rows_per_chunk \
+                    else _round_rows(part.size, rows_per_chunk)
                 rows = np.full(r_pad, m, np.int32)
                 nnz = np.zeros(r_pad, np.int32)
                 cols = np.full((r_pad, width), panel_size, np.int32)

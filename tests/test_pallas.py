@@ -1,0 +1,99 @@
+"""Pallas fused Gram+CG kernel tests (interpreter mode on CPU — the
+compiled path is exercised on real hardware by bench.py; SURVEY §5 notes
+interpreter-mode tests are the TPU analog of the reference's cuda-memcheck
+debug builds)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+
+import cumf_als_tpu.ops.pallas_solve as ps
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ps.pl, "pallas_call", patched)
+    yield
+
+
+def _problem(r, p, f, seed=0, zero_rows=()):
+    rng = np.random.RandomState(seed)
+    g = (rng.standard_normal((r, p, f)) * 0.3).astype(np.float32)
+    vals = rng.uniform(1, 5, (r, p)).astype(np.float32)
+    nnz = rng.randint(1, p + 1, (r,)).astype(np.int32)
+    for z in zero_rows:
+        nnz[z] = 0
+    mask = np.arange(p)[None, :] < nnz[:, None]
+    return g * mask[:, :, None], vals * mask, nnz
+
+
+def _reference(g, vals, nnz, lam, f):
+    r = g.shape[0]
+    x = np.zeros((r, f))
+    se = np.zeros(r)
+    for i in range(r):
+        a = g[i].T @ g[i] + (nnz[i] * lam + (nnz[i] == 0)) * np.eye(f)
+        b = g[i].T @ vals[i]
+        x[i] = np.linalg.solve(a, b) * (nnz[i] > 0)
+        e = vals[i][:nnz[i]] - g[i][:nnz[i]] @ x[i]
+        se[i] = np.sum(e * e)
+    return x, se
+
+
+def test_fused_gram_cg_matches_exact_solve():
+    r, p, f, lam = 16, 48, 128, 0.05
+    g, vals, nnz = _problem(r, p, f, zero_rows=(3,))
+    x, se = ps.fused_gram_cg(jnp.asarray(g), jnp.asarray(vals),
+                             jnp.asarray(nnz),
+                             jnp.zeros((r, f), jnp.float32), lam,
+                             cg_iters=40, cg_tol=1e-12)
+    ref_x, ref_se = _reference(g, vals, nnz, lam, f)
+    np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(se)[:, 0], ref_se,
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(x)[3], 0.0)
+
+
+def test_fused_matches_xla_cg_semantics():
+    """Same iterates as ops.solve.solve_cg (reference cg.cu semantics)."""
+    from cumf_als_tpu.ops.solve import solve_cg
+    r, p, f, lam = 8, 24, 128, 0.1
+    g, vals, nnz = _problem(r, p, f, seed=3)
+    a = np.einsum("rpf,rpg->rfg", g, g) + \
+        (nnz * lam)[:, None, None] * np.eye(f, dtype=np.float32)
+    b = np.einsum("rp,rpf->rf", vals, g)
+    x0 = np.zeros((r, f), np.float32)
+    ref = np.asarray(solve_cg(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(x0), cg_iters=6, cg_tol=1e-4))
+    got, _ = ps.fused_gram_cg(jnp.asarray(g), jnp.asarray(vals),
+                              jnp.asarray(nnz), jnp.asarray(x0), lam,
+                              cg_iters=6, cg_tol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gather_gram_cg_end_to_end():
+    rng = np.random.RandomState(1)
+    n, f, r, p = 50, 128, 16, 24
+    table = rng.standard_normal((n, f)).astype(np.float32) * 0.3
+    table_ext = jnp.concatenate(
+        [jnp.asarray(table), jnp.zeros((1, f))], axis=0)
+    cols = rng.randint(0, n, (r, p)).astype(np.int32)
+    nnz = rng.randint(1, p + 1, (r,)).astype(np.int32)
+    mask = np.arange(p)[None, :] < nnz[:, None]
+    cols = np.where(mask, cols, n).astype(np.int32)
+    vals = (rng.uniform(1, 5, (r, p)) * mask).astype(np.float32)
+    x, se = ps.gather_gram_cg(table_ext, jnp.asarray(cols),
+                              jnp.asarray(vals), jnp.asarray(nnz),
+                              jnp.zeros((r, f), jnp.float32), 0.05,
+                              cg_iters=40, cg_tol=1e-12)
+    g = np.where(mask[:, :, None], table[np.minimum(cols, n - 1)], 0.0)
+    ref_x, _ = _reference(g, vals, nnz, 0.05, f)
+    np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)

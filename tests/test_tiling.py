@@ -69,11 +69,18 @@ def test_skewed_row_gets_own_bucket():
     assert widths[0] <= 64
 
 
-def test_chunk_shapes_static_within_bucket():
+def test_chunk_shapes_bounded_within_bucket():
+    """Full chunks in a bucket share one shape; the ragged final chunk is
+    rounded to a power of two (so compiled-shape count stays O(log))."""
     csr = _csr(1000, 100, 30000, seed=6)
     plan = build_update_plan(csr, chunk_nnz=1 << 12)
     by_width = {}
     for ch in plan.chunks:
-        by_width.setdefault(ch.width, set()).add(ch.num_rows)
+        by_width.setdefault(ch.width, []).append(ch.num_rows)
     for width, sizes in by_width.items():
-        assert len(sizes) == 1, (width, sizes)
+        full = max(sizes)
+        # at most one non-full chunk, and it is a power of two
+        ragged = [s for s in sizes if s != full]
+        assert len(ragged) <= 1, (width, sizes)
+        for s in ragged:
+            assert s & (s - 1) == 0
