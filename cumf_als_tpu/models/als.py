@@ -64,18 +64,25 @@ class DeviceChunk:
         self.panel = getattr(chunk, "panel", 0)
 
 
-@partial(jax.jit, static_argnames=("panel_size", "precision"),
-         donate_argnums=(1, 2))
-def _panel_accum(table_pad, a_buf, b_buf, panel_start, cols, vals, rows,
-                 panel_size, precision):
-    """Partial Gram/RHS of one panel chunk, scatter-added into the
-    full-phase accumulators. The sliced panel (<= panel_size rows) is
-    small enough for XLA to stage on chip, which is the whole point."""
-    from cumf_als_tpu.ops.gram import _PRECISIONS
+@partial(jax.jit, static_argnames=("panel_size",))
+def _slice_panel(table_pad, panel_start, panel_size):
     f = table_pad.shape[1]
-    tp = jax.lax.dynamic_slice(table_pad, (panel_start, 0),
-                               (panel_size, f))
-    tp = jnp.concatenate([tp, jnp.zeros((1, f), tp.dtype)], axis=0)
+    return jax.lax.dynamic_slice(table_pad, (panel_start, 0),
+                                 (panel_size, f))
+
+
+@partial(jax.jit, static_argnames=("precision",),
+         donate_argnums=(1, 2))
+def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision):
+    """Partial Gram/RHS of one panel chunk, scatter-added into the
+    full-phase accumulators. The panel (<= panel_size rows) is small
+    enough for XLA to stage on chip, which is the whole point; it can be
+    a slice of a device-resident factor or a host-streamed shard (the
+    out-of-core XT_h path, reference hugewiki.cu:2300-2302)."""
+    from cumf_als_tpu.ops.gram import _PRECISIONS
+    f = table_panel.shape[1]
+    tp = jnp.concatenate(
+        [table_panel, jnp.zeros((1, f), table_panel.dtype)], axis=0)
     g = jnp.take(tp, cols, axis=0)
     prec = _PRECISIONS[precision]
     a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
@@ -184,23 +191,33 @@ class ALS:
         return self._update_phase_direct(table, current, plan_pair,
                                          collect_rmse_terms)
 
-    def _update_phase_panelized(self, table, current, plan_pair):
+    def _update_phase_panelized(self, table, current, plan_pair,
+                                panel_provider=None):
         """Panelized Gram: per-panel partial (A, b) scatter-added into
-        full accumulators, then batched solves. See PanelPlan."""
+        full accumulators, then batched solves. See PanelPlan.
+        panel_provider(p) overrides panel sourcing (host streaming)."""
         cfg = self.cfg
         plan, chunks, aux = plan_pair
-        f = table.shape[1]
+        f = self.cfg.f_pad
         s = plan.panel_size
-        table_pad = jnp.pad(
-            table, ((0, plan.n_panels * s - table.shape[0]), (0, 0)))
+        if panel_provider is None:
+            table_pad = jnp.pad(
+                table, ((0, plan.n_panels * s - table.shape[0]), (0, 0)))
+
+            def panel_provider(p):
+                return _slice_panel(table_pad,
+                                    jnp.asarray(p * s, jnp.int32), s)
         m, m_pad = plan.num_rows, aux["m_pad"]
         a_buf = jnp.zeros((m_pad, f, f), jnp.float32)
         b_buf = jnp.zeros((m_pad, f), jnp.float32)
+        cur_panel, tp = -1, None
         for ch in chunks:
-            a_buf, b_buf = _panel_accum(
-                table_pad, a_buf, b_buf,
-                jnp.asarray(ch.panel * s, jnp.int32), ch.cols, ch.vals,
-                ch.rows, s, cfg.gram_precision)
+            if ch.panel != cur_panel:
+                tp = panel_provider(ch.panel)
+                cur_panel = ch.panel
+            a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
+                                        ch.vals, ch.rows,
+                                        cfg.gram_precision)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
         batch = cfg.chunk_rows
         outs = []
