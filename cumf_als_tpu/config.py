@@ -107,6 +107,7 @@ class ALSConfig:
     save_model: bool = False   # CUMF_SAVE_MODEL analog: dump Gram/solve artifacts
     save_model_dir: str = "./log"
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    metrics_jsonl: Optional[str] = None  # append per-iteration JSON lines
 
     # --- parallelism (hugewiki tier; SURVEY §2 items 14-17) ---
     mesh_shape: Optional[Tuple[int, ...]] = None  # e.g. (8,) data axis

@@ -313,6 +313,16 @@ class ALS:
                 print(f"update theta run {tth:f} seconds, gridSize: "
                       f"{cfg.n}, blockSize {cfg.f}.")
 
+            if cfg.save_model:
+                # CUMF_SAVE_MODEL analog (reference als.cu:33, 49-57,
+                # 800-807): per-iteration solver artifacts for offline
+                # numerical A/B diffing of solver/precision variants.
+                from cumf_als_tpu.utils.checkpoint import save_debug_array
+                save_debug_array(cfg.save_model_dir,
+                                 f"XT_iter{it:03d}", self._unpad_f(x))
+                save_debug_array(cfg.save_model_dir,
+                                 f"thetaT_iter{it:03d}",
+                                 self._unpad_f(theta))
             t0 = seconds()
             if want_fused:
                 train_rmse = float(np.sqrt(max(se_acc, 0.0) /
@@ -333,6 +343,13 @@ class ALS:
             trm = seconds() - t0
             history.append(IterationMetrics(it, train_rmse, test_rmse,
                                             tx, tth, trm))
+            if cfg.metrics_jsonl:
+                import json
+                with open(cfg.metrics_jsonl, "a") as fh:
+                    fh.write(json.dumps({
+                        "iteration": it, "train_rmse": train_rmse,
+                        "test_rmse": test_rmse, "x_seconds": tx,
+                        "theta_seconds": tth, "rmse_seconds": trm}) + "\n")
             if cfg.checkpoint_every and cfg.checkpoint_dir and \
                     (it + 1) % cfg.checkpoint_every == 0:
                 from cumf_als_tpu.utils.checkpoint import save_checkpoint
