@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["highest", "high", "default"], default="highest")
     p.add_argument("--train-rmse", choices=["direct", "fused"],
                    default="direct")
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--use-panels", choices=["auto", "never"],
+                   default="auto")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard over N devices (hugewiki multi-chip path)")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="keep X host-resident (hugewiki XT_h path)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -74,6 +81,9 @@ def config_from_args(a) -> ALSConfig:
         cg_iters=a.cg_iters, cg_tol=a.cg_tol, factor_dtype=a.factor_dtype,
         gram_dtype=a.gram_dtype, gram_precision=a.gram_precision,
         train_rmse_method=a.train_rmse, seed=a.seed,
+        backend=a.backend, use_panels=a.use_panels,
+        mesh_shape=(a.mesh,) if a.mesh else None,
+        host_offload_x=a.out_of_core,
         checkpoint_dir=a.checkpoint_dir,
         checkpoint_every=a.checkpoint_every, resume=a.resume,
         profile_dir=a.profile_dir, verbose=not a.quiet,
@@ -111,13 +121,18 @@ def main(argv=None) -> int:
             print(f"*******resuming from checkpoint at iteration {it}.")
 
     t0 = seconds()
-    model = ALS(cfg, csr, csc, test)
+    from cumf_als_tpu.models.factory import make_model
+    model = make_model(cfg, csr, csc, test)
+    kwargs = {"start_iter": start_iter} if isinstance(model, ALS) else {}
+    if start_iter and not isinstance(model, ALS):
+        print("*******warning: resume is only supported by the "
+              "single-device model; starting from iteration 0.")
     if cfg.profile_dir:
         import jax
         with jax.profiler.trace(cfg.profile_dir):
-            result = model.run(x0, theta0, start_iter=start_iter)
+            result = model.run(x0, theta0, **kwargs)
     else:
-        result = model.run(x0, theta0, start_iter=start_iter)
+        result = model.run(x0, theta0, **kwargs)
     print(f"\ndoALS takes seconds: {seconds() - t0:.3f} for F = {cfg.f}")
     print("\nALS Done.")
     return 0

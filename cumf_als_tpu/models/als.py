@@ -243,7 +243,9 @@ class ALS:
             from cumf_als_tpu.ops.pallas_solve import (fused_available,
                                                        gather_gram_cg)
             use_pallas = fused_available()
-        se_acc = 0.0
+        # se parts stay on device: a float() per chunk would force a
+        # blocking device sync and stall the dispatch pipeline.
+        se_parts = []
         for ch in chunks:
             x0 = jnp.take(current, ch.rows, axis=0, mode="fill",
                           fill_value=0.0)
@@ -253,7 +255,7 @@ class ALS:
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                     factor_dtype=cfg.factor_dtype)
                 if collect_rmse_terms:
-                    se_acc += float(jnp.sum(se))
+                    se_parts.append(jnp.sum(se))
             else:
                 a, b = gram_rhs(table_ext, ch.cols, ch.vals, ch.nnz,
                                 cfg.lam, precision=cfg.gram_precision,
@@ -263,9 +265,10 @@ class ALS:
                                cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
                 solved = solved * (ch.nnz > 0)[:, None]
                 if collect_rmse_terms:
-                    se_acc += float(fused_sq_err(a, b, ch.vals, ch.nnz,
+                    se_parts.append(fused_sq_err(a, b, ch.vals, ch.nnz,
                                                  cfg.lam, solved))
             current = current.at[ch.rows].set(solved, mode="drop")
+        se_acc = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return current, se_acc
 
     # ----- the training loop -----

@@ -78,40 +78,43 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         def matvec(p):
             return jnp.sum(a * p[:, None, :], axis=-1)
 
+        # CG state: per-row scalars kept 2-D (rb, 1) and masks as f32 —
+        # 1-D bool loop carries trip a Mosaic layout bug on v5e.
         x = x0_ref[...].astype(jnp.float32)
         r = b - matvec(x)
         p = r
-        rsold = jnp.sum(r * r, axis=-1)
-        active = jnp.ones_like(rsold, dtype=jnp.bool_)
+        rsold = jnp.sum(r * r, axis=-1, keepdims=True)
+        active = jnp.ones_like(rsold)
 
         def body(_, carry):
             x, r, p, rsold, active = carry
             ap = matvec(p)
-            pap = jnp.sum(p * ap, axis=-1)
-            safe = jnp.where(jnp.abs(pap) > 0, pap, 1.0)
-            alpha = jnp.where(active & (pap != 0), rsold / safe, 0.0)
-            x = x + alpha[:, None] * p
-            r = r - alpha[:, None] * ap
-            rsnew = jnp.sum(r * r, axis=-1)
-            still = active & (rsnew >= cg_tol)
-            beta = jnp.where(still,
-                             rsnew / jnp.where(rsold > 0, rsold, 1.0),
-                             0.0)
-            p = jnp.where(still[:, None], r + beta[:, None] * p, p)
-            rsold = jnp.where(still, rsnew, rsold)
+            pap = jnp.sum(p * ap, axis=-1, keepdims=True)
+            nonzero = (jnp.abs(pap) > 0).astype(jnp.float32)
+            safe = pap + (1.0 - nonzero)
+            alpha = active * nonzero * rsold / safe
+            x = x + alpha * p
+            r = r - alpha * ap
+            rsnew = jnp.sum(r * r, axis=-1, keepdims=True)
+            still = active * (rsnew >= cg_tol).astype(jnp.float32)
+            safe_old = rsold + (rsold <= 0).astype(jnp.float32)
+            beta = still * rsnew / safe_old
+            p = still * (r + beta * p) + (1.0 - still) * p
+            rsold = still * rsnew + (1.0 - still) * rsold
             return x, r, p, rsold, still
 
         x, *_ = jax.lax.fori_loop(0, cg_iters, body,
                                   (x, r, p, rsold, active))
-        x = x * (nnz > 0).astype(jnp.float32)[:, None]
+        live = (nnz > 0).astype(jnp.float32)[:, None]
+        x = x * live
         out_ref[...] = x
         # free train-RMSE pieces (exact identity, see ops/rmse.py):
         # se_row = sum r^2 - 2 x.b + x^T (A - diag I) x
-        cross = jnp.sum(x * b, axis=-1)
+        cross = jnp.sum(x * b, axis=-1, keepdims=True)
         aq = jnp.sum(a * x[:, None, :], axis=-1)
-        quad = jnp.sum(x * aq, axis=-1) - diag * jnp.sum(x * x, axis=-1)
-        se_ref[...] = jnp.maximum(
-            r2_scr[...][:, 0] - 2.0 * cross + quad, 0.0)[:, None]
+        quad = (jnp.sum(x * aq, axis=-1, keepdims=True) -
+                diag[:, None] * jnp.sum(x * x, axis=-1, keepdims=True))
+        se_ref[...] = jnp.maximum(r2_scr[...] - 2.0 * cross + quad, 0.0)
 
 
 @functools.partial(jax.jit,

@@ -305,7 +305,7 @@ class ShardedALS:
                            jax.device_put(ch.nnz, self._shard),
                            jax.device_put(ch.cols, self._shard),
                            jax.device_put(ch.vals, self._shard))
-        se_total = 0.0
+        se_parts = []
         for bl in self.reduce_plan.blocks:
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
             theta, se = fn(x_sharded, theta,
@@ -314,7 +314,8 @@ class ShardedALS:
                            jax.device_put(bl.nnz_total, self._repl),
                            jax.device_put(bl.cols, self._shard),
                            jax.device_put(bl.vals, self._shard))
-            se_total += float(se)
+            se_parts.append(se)
+        se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return x_sharded, theta, se_total
 
     def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
