@@ -92,6 +92,13 @@ def _round_rows(r: int, cap: int) -> int:
     return min(cap, max(8, _next_pow2(r)))
 
 
+def _rows_per_chunk(width: int, chunk_nnz: int, chunk_rows: int) -> int:
+    """Rows per full chunk: floor power of two so every chunk row count
+    is pow2 (Pallas block shapes need sublane-divisible tiles)."""
+    r = max(8, min(chunk_nnz // width, chunk_rows))
+    return 1 << (r.bit_length() - 1)
+
+
 def build_update_plan(
     csr: CSRMatrix,
     min_width: int = 8,
@@ -132,7 +139,7 @@ def build_update_plan(
         rows_b = nonempty[starts[b]:starts[b + 1]]
         if rows_b.size == 0:
             continue
-        rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
+        rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
         for lo in range(0, rows_b.size, rows_per_chunk):
             rows_c = rows_b[lo:lo + rows_per_chunk]
             r = rows_c.size
@@ -232,7 +239,7 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
             sel = np.nonzero((sub_panel == p) & (widx == b))[0]
             if sel.size == 0:
                 continue
-            rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
+            rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
             for lo_i in range(0, sel.size, rows_per_chunk):
                 part = sel[lo_i:lo_i + rows_per_chunk]
                 r_pad = rows_per_chunk if part.size == rows_per_chunk \

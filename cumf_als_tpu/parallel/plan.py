@@ -24,6 +24,7 @@ from typing import List, Sequence
 
 import numpy as np
 
+from cumf_als_tpu.ops.tiling import _rows_per_chunk
 from cumf_als_tpu.utils.io import CSRMatrix
 
 
@@ -106,7 +107,7 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
 
     chunks: List[ShardedChunk] = []
     for b, width in enumerate(widths):
-        rows_per_chunk = max(1, min(chunk_nnz // width, chunk_rows))
+        rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
         n_chunks = max((-(-per_dev_buckets[d][b].size // rows_per_chunk)
                         if per_dev_buckets[d][b].size else 0)
                        for d in range(n_dev))
