@@ -353,6 +353,14 @@ class ShardedALS:
                           f"{test_rmse:f}")
             history.append(IterationMetrics(it, train_rmse, test_rmse,
                                             dt, 0.0, 0.0))
+            if not np.isfinite(train_rmse):
+                raise FloatingPointError(
+                    f"non-finite train RMSE at iteration {it}")
+            if cfg.checkpoint_every and cfg.checkpoint_dir and \
+                    (it + 1) % cfg.checkpoint_every == 0:
+                from cumf_als_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(cfg.checkpoint_dir, it, self.unshard_x(x),
+                                np.asarray(theta)[:, :cfg.f], cfg)
         return ALSResult(x=self.unshard_x(x),
                          theta=np.asarray(theta)[:, :cfg.f],
                          history=history)
