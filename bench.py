@@ -73,9 +73,14 @@ def main() -> int:
                    choices=["cg", "cholesky", "lu"])
     p.add_argument("--gram-precision", default="highest",
                    choices=["highest", "high", "default"])
-    p.add_argument("--factor-dtype", default="f32",
+    # Defaults = fastest configuration that stays within the 1e-3
+    # accuracy budget (bf16 factors moved Netflix test RMSE by 1.4e-4;
+    # the CUMF_USE_HALF precedent). backend falls back to XLA when the
+    # fused kernel doesn't compile on the local toolchain.
+    p.add_argument("--factor-dtype", default="bf16",
                    choices=["f32", "bf16"])
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="pallas",
+                   choices=["xla", "pallas"])
     p.add_argument("--use-panels", default="auto",
                    choices=["auto", "never"])
     p.add_argument("--platform", default=None,

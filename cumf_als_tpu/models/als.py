@@ -71,9 +71,10 @@ def _slice_panel(table_pad, panel_start, panel_size):
                                  (panel_size, f))
 
 
-@partial(jax.jit, static_argnames=("precision",),
+@partial(jax.jit, static_argnames=("precision", "factor_dtype"),
          donate_argnums=(1, 2))
-def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision):
+def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
+                 factor_dtype="f32"):
     """Partial Gram/RHS of one panel chunk, scatter-added into the
     full-phase accumulators. The panel (<= panel_size rows) is small
     enough for XLA to stage on chip, which is the whole point; it can be
@@ -81,6 +82,8 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision):
     out-of-core XT_h path, reference hugewiki.cu:2300-2302)."""
     from cumf_als_tpu.ops.gram import _PRECISIONS
     f = table_panel.shape[1]
+    if factor_dtype == "bf16":  # CUMF_USE_HALF analog
+        table_panel = table_panel.astype(jnp.bfloat16)
     tp = jnp.concatenate(
         [table_panel, jnp.zeros((1, f), table_panel.dtype)], axis=0)
     g = jnp.take(tp, cols, axis=0)
@@ -217,7 +220,8 @@ class ALS:
                 cur_panel = ch.panel
             a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
                                         ch.vals, ch.rows,
-                                        cfg.gram_precision)
+                                        cfg.gram_precision,
+                                        cfg.factor_dtype)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
         batch = cfg.chunk_rows
         outs = []

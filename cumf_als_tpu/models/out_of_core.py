@@ -146,7 +146,8 @@ class OutOfCoreALS:
             dc = DeviceChunk(ch)
             a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, dc.cols,
                                         dc.vals, dc.rows,
-                                        cfg.gram_precision)
+                                        cfg.gram_precision,
+                                        cfg.factor_dtype)
         n = plan.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         batch = cfg.chunk_rows

@@ -27,11 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _p_block(width: int) -> int:
-    """Contraction-axis block size that divides every bucket width
-    (widths are 2^k or 3*2^k)."""
+    """Contraction-axis block size: divides the bucket width and is a
+    lane-legal tile (multiple of 128, or the full width). Widths are
+    q*2^k for q in {1,3,5,7} (ops/tiling.make_width_grid)."""
     if width <= 512:
         return width
-    return 512 if width % 512 == 0 else 384
+    for cand in (512, 384, 256, 128):
+        if width % cand == 0:
+            return cand
+    return width  # width not a multiple of 128: keep whole (width<=512)
 
 
 def _row_block(width: int, f: int) -> int:
