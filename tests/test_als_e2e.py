@@ -88,6 +88,21 @@ class TestConvergence:
         # SURPASS_NAN-intended semantics: prediction 0 => test RMSE = |r|
         assert res.history[-1].test_rmse == pytest.approx(2.5, abs=1e-5)
 
+    @pytest.mark.parametrize("f", [10, 200])
+    def test_f_extremes(self, small_problem, f):
+        """Generic-F support (the get_hermitianT10 analog): small F pads
+        to one lane tile, F>128 spans multiple (f_pad=256)."""
+        train, test = small_problem
+        cfg = _cfg(train, iters=2, f=f, solver="cg")
+        x0, th0 = init_factors(cfg.m, cfg.n, f, seed=0)
+        res = do_als(train, None, test, th0, x0, cfg)
+        assert cfg.f_pad == (128 if f <= 128 else 256)
+        assert res.x.shape == (cfg.m, f)
+        # tiny overparameterized problems wiggle at the CG-6 tolerance;
+        # require a sane fit, not strict monotonicity
+        assert res.history[-1].train_rmse < 0.5
+        assert np.isfinite(res.history[-1].test_rmse)
+
     def test_nonfinite_guard(self, small_problem):
         train, test = small_problem
         cfg = _cfg(train, iters=1, lam=float("nan"))
