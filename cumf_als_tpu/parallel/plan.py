@@ -33,22 +33,17 @@ def _next_pow2(x: int) -> int:
 
 
 def assign_rows_balanced(row_nnz: np.ndarray, n_dev: int) -> np.ndarray:
-    """Greedy balanced assignment: rows sorted by nnz descending, each
-    placed on the currently lightest device. Returns device id per row.
-    This is the static-SPMD replacement for hugewiki's dynamic work
-    counter (hugewiki.cu:2490-2496)."""
+    """Balanced static assignment: rows sorted by nnz descending, dealt
+    in a snake (0..n-1, n-1..0, ...) so per-device loads and row counts
+    stay even. Vectorized — hugewiki-scale row counts (50M) rule out a
+    per-row greedy loop. This is the static-SPMD replacement for
+    hugewiki's dynamic work counter (hugewiki.cu:2490-2496)."""
+    m = row_nnz.shape[0]
     order = np.argsort(-row_nnz, kind="stable")
-    load = np.zeros(n_dev, np.int64)
-    count = np.zeros(n_dev, np.int64)
-    assign = np.zeros(row_nnz.shape[0], np.int32)
-    # cap rows per device so shards stay rectangular
-    cap = -(-row_nnz.shape[0] // n_dev)
-    for r in order:
-        cands = np.nonzero(count < cap)[0]
-        d = cands[np.argmin(load[cands])]
-        assign[r] = d
-        load[d] += int(row_nnz[r])
-        count[d] += 1
+    cycle = np.arange(m, dtype=np.int64) % (2 * n_dev)
+    dev = np.where(cycle < n_dev, cycle, 2 * n_dev - 1 - cycle)
+    assign = np.empty(m, np.int32)
+    assign[order] = dev.astype(np.int32)
     return assign
 
 
@@ -111,6 +106,7 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
         n_chunks = max((-(-per_dev_buckets[d][b].size // rows_per_chunk)
                         if per_dev_buckets[d][b].size else 0)
                        for d in range(n_dev))
+        arange_w = np.arange(width, dtype=np.int64)[None, :]
         for c in range(n_chunks):
             rows = np.full((n_dev, rows_per_chunk), m_loc, np.int32)
             nnz = np.zeros((n_dev, rows_per_chunk), np.int32)
@@ -120,13 +116,20 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
             for d in range(n_dev):
                 rows_d = per_dev_buckets[d][b][c * rows_per_chunk:
                                                (c + 1) * rows_per_chunk]
-                for i, r in enumerate(rows_d):
-                    lo, hi = int(csr.indptr[r]), int(csr.indptr[r + 1])
-                    k = hi - lo
-                    rows[d, i] = local_of[r]
-                    nnz[d, i] = k
-                    cols[d, i, :k] = csr.indices[lo:hi]
-                    vals[d, i, :k] = csr.data[lo:hi]
+                k = rows_d.size
+                if k == 0:
+                    continue
+                lens = (csr.indptr[rows_d + 1] -
+                        csr.indptr[rows_d]).astype(np.int32)
+                offs = np.asarray(csr.indptr)[rows_d].astype(np.int64)
+                idx = offs[:, None] + arange_w
+                mask = arange_w < lens[:, None]
+                idx = np.where(mask, idx, 0)
+                rows[d, :k] = local_of[rows_d]
+                nnz[d, :k] = lens
+                cols[d, :k] = np.where(mask, csr.indices[idx],
+                                       csr.num_cols)
+                vals[d, :k] = np.where(mask, csr.data[idx], 0.0)
             chunks.append(ShardedChunk(width=width, rows=rows, nnz=nnz,
                                        cols=cols, vals=vals))
     return ShardedRowPlan(n_dev=n_dev, m=csr.num_rows, m_loc=m_loc,
