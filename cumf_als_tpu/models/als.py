@@ -23,7 +23,8 @@ from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
-from cumf_als_tpu.ops.tiling import (PanelPlan, UpdatePlan,
+from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelPlan,
+                                     UpdatePlan, build_batched_panel_plan,
                                      build_panel_plan, build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds
@@ -143,17 +144,23 @@ class ALS:
             return "direct"
         a_bytes = (csr.num_rows + 1) * cfg.f_pad * cfg.f_pad * 4
         margin = max(1, cfg.panel_size // 8)
-        if csr.num_cols > cfg.panel_size + margin and \
-                a_bytes <= cfg.panel_budget_bytes:
-            return "panel"
+        if csr.num_cols > cfg.panel_size + margin:
+            if a_bytes <= cfg.panel_budget_bytes:
+                return "panel"
+            return "batched_panel"  # both sides big (Yahoo-class)
         return "direct"
 
     def _build_phase_plan(self, csr: CSRMatrix):
         cfg = self.cfg
-        if self._phase_strategy(csr) == "panel":
+        strategy = self._phase_strategy(csr)
+        if strategy == "panel":
             plan = build_panel_plan(csr, cfg.panel_size,
                                     cfg.min_bucket_width, cfg.chunk_nnz,
                                     cfg.chunk_rows)
+        elif strategy == "batched_panel":
+            plan = build_batched_panel_plan(
+                csr, cfg.panel_size, cfg.chunk_rows,
+                cfg.min_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
         else:
             plan = build_update_plan(csr, cfg.min_bucket_width,
                                      cfg.max_bucket_width, cfg.chunk_nnz,
@@ -162,6 +169,12 @@ class ALS:
 
     def _device_plan(self, plan):
         aux = {}
+        if isinstance(plan, BatchedPanelPlan):
+            aux["batches"] = [
+                (jnp.asarray(b.global_ids), jnp.asarray(b.row_nnz),
+                 [DeviceChunk(c) for c in b.plan.chunks])
+                for b in plan.batches]
+            return plan, [], aux
         if isinstance(plan, PanelPlan):
             batch = self.cfg.chunk_rows
             m_pad = -(-(plan.num_rows + 1) // batch) * batch
@@ -186,13 +199,51 @@ class ALS:
     # ----- one phase -----
     def _update_phase(self, table: jnp.ndarray, current: jnp.ndarray,
                       plan_pair, collect_rmse_terms: bool):
-        if isinstance(plan_pair[0], PanelPlan):
+        if isinstance(plan_pair[0], (PanelPlan, BatchedPanelPlan)):
             if collect_rmse_terms:
                 raise NotImplementedError(
                     "fused train RMSE requires the direct phase")
+            if isinstance(plan_pair[0], BatchedPanelPlan):
+                return self._update_phase_batched_panel(table, current,
+                                                        plan_pair)
             return self._update_phase_panelized(table, current, plan_pair)
         return self._update_phase_direct(table, current, plan_pair,
                                          collect_rmse_terms)
+
+    def _update_phase_batched_panel(self, table, current, plan_pair):
+        """Two-level (row-batch x panel) Gram for both-sides-big phases:
+        a reusable (B, f, f) accumulator per batch, panels sliced from
+        the padded table (see ops/tiling.BatchedPanelPlan)."""
+        cfg = self.cfg
+        plan, _, aux = plan_pair
+        f = cfg.f_pad
+        s = plan.panel_size
+        n_panels = -(-plan.num_cols // s)
+        table_pad = jnp.pad(
+            table, ((0, n_panels * s - table.shape[0]), (0, 0)))
+        bsz = plan.batch_rows
+        for gids, row_nnz, chunks in aux["batches"]:
+            a_buf = jnp.zeros((bsz, f, f), jnp.float32)
+            b_buf = jnp.zeros((bsz, f), jnp.float32)
+            cur_panel, tp = -1, None
+            for ch in chunks:
+                if ch.panel != cur_panel:
+                    tp = _slice_panel(table_pad,
+                                      jnp.asarray(ch.panel * s, jnp.int32),
+                                      s)
+                    cur_panel = ch.panel
+                a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
+                                            ch.vals, ch.rows,
+                                            cfg.gram_precision,
+                                            cfg.factor_dtype)
+            x0 = jnp.take(current, gids, axis=0, mode="fill",
+                          fill_value=0.0)
+            solved = _solve_slice(a_buf, b_buf, x0, row_nnz,
+                                  jnp.asarray(0, jnp.int32), cfg.lam,
+                                  bsz, cfg.solver, cfg.cg_iters,
+                                  cfg.cg_tol)
+            current = current.at[gids].set(solved, mode="drop")
+        return current, 0.0
 
     def _update_phase_panelized(self, table, current, plan_pair,
                                 panel_provider=None):

@@ -212,64 +212,148 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
     m = csr.num_rows
     n_panels = -(-csr.num_cols // panel_size)
     row_nnz = np.diff(csr.indptr).astype(np.int64)
+    nnz_total = int(row_nnz.sum())
 
-    # subrow table: (row, panel, start_offset, length)
-    sub_rows, sub_panel, sub_off, sub_len = [], [], [], []
-    edges = np.arange(1, n_panels) * panel_size
-    for i in range(m):
-        lo, hi = int(csr.indptr[i]), int(csr.indptr[i + 1])
-        if hi == lo:
-            continue
-        cuts = np.searchsorted(csr.indices[lo:hi], edges)
-        bounds = np.concatenate([[0], cuts, [hi - lo]])
-        for p in range(n_panels):
-            ln = int(bounds[p + 1] - bounds[p])
-            if ln:
-                sub_rows.append(i)
-                sub_panel.append(p)
-                sub_off.append(lo + int(bounds[p]))
-                sub_len.append(ln)
-    sub_rows = np.asarray(sub_rows, np.int32)
-    sub_panel = np.asarray(sub_panel, np.int32)
-    sub_off = np.asarray(sub_off, np.int64)
-    sub_len = np.asarray(sub_len, np.int64)
+    # Subrow table, fully vectorized: a subrow is a maximal run of one
+    # row's (sorted) columns falling in one panel. Runs are boundaries
+    # of the (row, panel) key over the flat nonzero axis.
+    rows_flat = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    p_flat = (csr.indices.astype(np.int64) // panel_size)
+    key = rows_flat * n_panels + p_flat
+    change = np.nonzero(np.diff(key))[0] + 1
+    starts = np.concatenate([[0], change]) if nnz_total else \
+        np.zeros(0, np.int64)
+    ends = np.concatenate([change, [nnz_total]]) if nnz_total else \
+        np.zeros(0, np.int64)
+    sub_rows = rows_flat[starts].astype(np.int32) if nnz_total else \
+        np.zeros(0, np.int32)
+    sub_panel = p_flat[starts].astype(np.int32) if nnz_total else \
+        np.zeros(0, np.int32)
+    sub_off = starts
+    sub_len = ends - starts
 
     max_len = int(sub_len.max()) if sub_len.size else 1
     widths = make_width_grid(min_width, max_len)
     widx = np.searchsorted(widths, sub_len)
 
+    # group subrows by (panel, width) with one argsort
+    group = sub_panel.astype(np.int64) * len(widths) + widx
+    order = np.argsort(group, kind="stable")
+    group_sorted = group[order]
+    bounds = np.searchsorted(
+        group_sorted, np.arange(n_panels * len(widths) + 1))
+
     chunks: List[PanelChunk] = []
     padded = 0
-    for p in range(n_panels):
-        for b, width in enumerate(widths):
-            sel = np.nonzero((sub_panel == p) & (widx == b))[0]
-            if sel.size == 0:
-                continue
-            rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
-            for lo_i in range(0, sel.size, rows_per_chunk):
-                part = sel[lo_i:lo_i + rows_per_chunk]
-                r_pad = rows_per_chunk if part.size == rows_per_chunk \
-                    else _round_rows(part.size, rows_per_chunk)
-                rows = np.full(r_pad, m, np.int32)
-                nnz = np.zeros(r_pad, np.int32)
-                cols = np.full((r_pad, width), panel_size, np.int32)
-                vals = np.zeros((r_pad, width), np.float32)
-                base = p * panel_size
-                for k, s in enumerate(part):
-                    ln = int(sub_len[s])
-                    off = int(sub_off[s])
-                    rows[k] = sub_rows[s]
-                    nnz[k] = ln
-                    cols[k, :ln] = csr.indices[off:off + ln] - base
-                    vals[k, :ln] = csr.data[off:off + ln]
-                chunks.append(PanelChunk(panel=p, width=width, rows=rows,
-                                         nnz=nnz, cols=cols, vals=vals))
-                padded += r_pad * width
+    for gid in range(n_panels * len(widths)):
+        sel = order[bounds[gid]:bounds[gid + 1]]
+        if sel.size == 0:
+            continue
+        p, b = divmod(gid, len(widths))
+        width = widths[b]
+        base = p * panel_size
+        rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
+        arange_w = np.arange(width, dtype=np.int64)[None, :]
+        for lo_i in range(0, sel.size, rows_per_chunk):
+            part = sel[lo_i:lo_i + rows_per_chunk]
+            k = part.size
+            r_pad = rows_per_chunk if k == rows_per_chunk \
+                else _round_rows(k, rows_per_chunk)
+            rows = np.full(r_pad, m, np.int32)
+            nnz = np.zeros(r_pad, np.int32)
+            cols = np.full((r_pad, width), panel_size, np.int32)
+            vals = np.zeros((r_pad, width), np.float32)
+            lens = sub_len[part]
+            idx = sub_off[part][:, None] + arange_w
+            mask = arange_w < lens[:, None]
+            idx = np.where(mask, idx, 0)
+            rows[:k] = sub_rows[part]
+            nnz[:k] = lens
+            cols[:k] = np.where(mask, csr.indices[idx] - base,
+                                panel_size)
+            vals[:k] = np.where(mask, csr.data[idx], 0.0)
+            chunks.append(PanelChunk(panel=p, width=width, rows=rows,
+                                     nnz=nnz, cols=cols, vals=vals))
+            padded += r_pad * width
     return PanelPlan(num_rows=m, num_cols=csr.num_cols,
                      panel_size=panel_size, n_panels=n_panels,
                      chunks=chunks,
                      row_nnz=row_nnz.astype(np.int32),
                      true_nnz=int(row_nnz.sum()), padded_nnz=padded)
+
+
+@dataclasses.dataclass
+class RowBatch:
+    """One row batch of a BatchedPanelPlan: a panel sub-plan whose rows
+    are batch-local (0..batch_rows-1)."""
+    global_ids: np.ndarray   # (B,) int32, == num_rows for padding
+    row_nnz: np.ndarray      # (B,) int32 total nnz
+    plan: "PanelPlan"        # rows local to the batch
+
+
+@dataclasses.dataclass
+class BatchedPanelPlan:
+    """Two-level layout for phases where BOTH sides are big: the gather
+    table exceeds panel_size (so panels are needed for on-chip-rate
+    gathers) AND the updated factor's full accumulators don't fit (so
+    rows are processed in batches with a reusable (B, f, f) buffer).
+    Rows are sorted by nnz so batches have uniform widths — the
+    "two-level (sorted-by-nnz, bucketed) grid" of SURVEY §7."""
+    num_rows: int
+    num_cols: int
+    panel_size: int
+    batch_rows: int
+    batches: List[RowBatch]
+    true_nnz: int
+    padded_nnz: int
+
+    @property
+    def expansion(self) -> float:
+        return self.padded_nnz / max(1, self.true_nnz)
+
+
+def build_batched_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
+                             batch_rows: int = 1 << 14,
+                             min_width: int = 8,
+                             chunk_nnz: int = 1 << 22,
+                             chunk_rows: int = 1 << 14
+                             ) -> BatchedPanelPlan:
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+    order = np.argsort(-row_nnz, kind="stable")
+    order = order[row_nnz[order] > 0]
+    batches: List[RowBatch] = []
+    padded = true = 0
+    for lo in range(0, order.size, batch_rows):
+        ids = order[lo:lo + batch_rows]
+        b = ids.size
+        # build the batch's sub-CSR (rows renumbered 0..b-1)
+        lens = row_nnz[ids]
+        sub_indptr = np.zeros(b + 1, np.int64)
+        np.cumsum(lens, out=sub_indptr[1:])
+        total = int(sub_indptr[-1])
+        # vectorized ragged gather of the batch rows' nonzeros
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(sub_indptr[:-1], lens)
+               + np.repeat(np.asarray(csr.indptr)[ids].astype(np.int64),
+                           lens))
+        sub_idx = csr.indices[pos]
+        sub_dat = csr.data[pos]
+        sub = CSRMatrix(indptr=sub_indptr, indices=sub_idx, data=sub_dat,
+                        num_rows=b, num_cols=csr.num_cols)
+        plan = build_panel_plan(sub, panel_size, min_width, chunk_nnz,
+                                chunk_rows)
+        gids = np.full(batch_rows, csr.num_rows, np.int32)
+        gids[:b] = ids
+        nnz_b = np.zeros(batch_rows, np.int32)
+        nnz_b[:b] = lens
+        batches.append(RowBatch(global_ids=gids, row_nnz=nnz_b,
+                                plan=plan))
+        padded += plan.padded_nnz
+        true += plan.true_nnz
+    return BatchedPanelPlan(num_rows=csr.num_rows, num_cols=csr.num_cols,
+                            panel_size=panel_size, batch_rows=batch_rows,
+                            batches=batches, true_nnz=true,
+                            padded_nnz=padded)
 
 
 def _materialize_chunk(csr: CSRMatrix, rows: np.ndarray, width: int,
