@@ -40,7 +40,7 @@ def load_workload(name: str, scale: float, seed: int = 0):
     from cumf_als_tpu.data.synthetic import workload_ratings
     from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
     os.makedirs(CACHE_DIR, exist_ok=True)
-    tag = f"{name}_s{scale:g}_seed{seed}"
+    tag = f"{name}_s{scale:g}_seed{seed}_v2"  # v2: workload rating scales
     path = os.path.join(CACHE_DIR, tag + ".npz")
     if os.path.exists(path):
         log(f"[bench] loading cached dataset {path}")

@@ -105,14 +105,18 @@ def init_factors(m: int, n: int, f: int, seed: int = 0,
     return x, theta
 
 
-# Workload-shaped synthetic datasets (shapes from BASELINE.md).
+# Workload-shaped synthetic datasets (shapes from BASELINE.md; rating
+# scales match the real datasets — YahooMusic is 0-100, which is why the
+# reference uses lambda=1.4 there, README.md:79).
 WORKLOAD_SHAPES = {
     "ml10m": dict(m=71567, n=65133, nnz=9_000_048, nnz_test=1_000_006,
-                  skew=(0.45, 0.45)),
+                  skew=(0.45, 0.45), rating_range=(0.5, 5.0)),
     "netflix": dict(m=17770, n=480_189, nnz=99_072_112,
-                    nnz_test=1_408_395, skew=(0.5, 0.35)),
+                    nnz_test=1_408_395, skew=(0.5, 0.35),
+                    rating_range=(1.0, 5.0)),
     "yahoo": dict(m=1_000_990, n=624_961, nnz=252_800_275,
-                  nnz_test=4_003_960, skew=(0.45, 0.4)),
+                  nnz_test=4_003_960, skew=(0.45, 0.4),
+                  rating_range=(0.0, 100.0)),
 }
 
 
@@ -124,6 +128,4 @@ def workload_ratings(name: str, scale: float = 1.0, seed: int = 0,
     if scale != 1.0:
         for k in ("m", "n", "nnz", "nnz_test"):
             shp[k] = max(8, int(shp[k] * scale))
-    skew = shp.pop("skew")
-    return synthetic_ratings(rank=rank, noise=noise, skew=skew, seed=seed,
-                             **shp)
+    return synthetic_ratings(rank=rank, noise=noise, seed=seed, **shp)
