@@ -19,8 +19,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.data.synthetic import init_factors
 from cumf_als_tpu.models.als import ALS

@@ -9,7 +9,7 @@ compile-time constants (reference hugewiki/hugewiki.cu:27-42).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,9 +11,8 @@ als.cu:768, 881) maps to the bucketed chunk plans of ops/tiling.py.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ from cumf_als_tpu.ops.gram import extend_table, gram_rhs
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelPlan,
-                                     UpdatePlan, build_batched_panel_plan,
+                                     build_batched_panel_plan,
                                      build_panel_plan, build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds

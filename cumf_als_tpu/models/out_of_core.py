@@ -34,7 +34,6 @@ from cumf_als_tpu.models.als import (ALSResult, IterationMetrics,
                                      _solve_slice, _panel_accum,
                                      DeviceChunk)
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
-from cumf_als_tpu.ops.rmse import fused_sq_err
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (build_panel_plan, build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
@@ -181,7 +180,6 @@ class OutOfCoreALS:
         order = np.argsort(coo.row, kind="stable")
         rows, cols, vals = coo.row[order], coo.col[order], coo.data[order]
         xg = x_host[rows][:, :self.cfg.f]
-        from cumf_als_tpu.ops.rmse import rmse_direct
         # theta gathers on device; x rows come from host memory
         th = np.asarray(theta)[:, :self.cfg.f]
         pred = np.einsum("ij,ij->i", xg, th[cols])

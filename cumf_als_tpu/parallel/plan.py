@@ -20,7 +20,7 @@ Two layouts:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

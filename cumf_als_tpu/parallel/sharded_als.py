@@ -18,7 +18,6 @@ batches pulled off a shared OpenMP counter. Here:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import List, Optional
 
@@ -32,8 +31,7 @@ from cumf_als_tpu.models.als import ALSResult, IterationMetrics
 from cumf_als_tpu.ops.gram import _PRECISIONS
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
-from cumf_als_tpu.parallel.plan import (ReducePlan, ShardedRowPlan,
-                                        build_reduce_plan,
+from cumf_als_tpu.parallel.plan import (build_reduce_plan,
                                         build_sharded_row_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
 from cumf_als_tpu.utils.timing import seconds
@@ -171,7 +169,6 @@ class ShardedALS:
             solved = solved * (nnzf > 0)[:, None]
             theta = theta.at[rows].set(solved, mode="drop")
             # free train-RMSE pieces (exact identity, ops/rmse.py)
-            from cumf_als_tpu.ops.rmse import fused_sq_err
             vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
                                DATA_AXIS)
             a_noreg = a - diag[:, None, None] * jnp.eye(

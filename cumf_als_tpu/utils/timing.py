@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict, List
+from typing import Dict
 
 
 def seconds() -> float:
