@@ -95,6 +95,11 @@ class ALSConfig:
     use_panels: str = "auto"       # auto | never
     panel_size: int = 1 << 16
     panel_budget_bytes: int = 2 << 30
+    # Fuse a whole direct phase into one jitted program: chunk updates
+    # are row-disjoint, so their solves are independent and XLA can
+    # overlap gathers with kernels across chunks; write-back is one
+    # combined scatter. Costs compile time and peak-memory headroom.
+    fuse_phase: bool = False
 
     # --- checkpoint / resume (reference has none; SURVEY §5) ---
     checkpoint_dir: Optional[str] = None

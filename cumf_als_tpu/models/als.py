@@ -291,36 +291,73 @@ class ALS:
         new factor and, when requested, the fused-RMSE accumulators."""
         cfg = self.cfg
         plan, chunks, _aux = plan_pair
-        table_ext = extend_table(table)
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import (fused_available,
-                                                       gather_gram_cg)
+            from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
+
+        def chunk_solve(table_ext, current, ch_arrays):
+            rows, nnz, cols, vals = ch_arrays
+            x0 = jnp.take(current, rows, axis=0, mode="fill",
+                          fill_value=0.0)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
+                solved, se = gather_gram_cg(
+                    table_ext, cols, vals, nnz, x0, cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype)
+                return solved, jnp.sum(se)
+            a, b = gram_rhs(table_ext, cols, vals, nnz, cfg.lam,
+                            precision=cfg.gram_precision,
+                            factor_dtype=cfg.factor_dtype,
+                            gram_dtype=cfg.gram_dtype)
+            solved = solve(a, b, x0, solver=cfg.solver,
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+            solved = solved * (nnz > 0)[:, None]
+            se = fused_sq_err(a, b, vals, nnz, cfg.lam, solved) \
+                if collect_rmse_terms else jnp.zeros((), jnp.float32)
+            return solved, se
+
+        if cfg.fuse_phase:
+            # One jitted program for the whole phase: chunk solves are
+            # row-disjoint and independent (warm starts read rows only
+            # their own chunk writes), so write-back is a single scatter
+            # and XLA may overlap gathers/kernels across chunks.
+            key = ("phase_fused", id(plan), collect_rmse_terms,
+                   cfg.backend)
+            fn = self._fn_cache.get(key) if hasattr(self, "_fn_cache") \
+                else None
+            if not hasattr(self, "_fn_cache"):
+                self._fn_cache = {}
+            if fn is None:
+                def phase(table, current, chunk_arrays):
+                    table_ext = extend_table(table)
+                    se_total = jnp.zeros((), jnp.float32)
+                    for ch_arrays in chunk_arrays:
+                        solved, se = chunk_solve(table_ext, current,
+                                                 ch_arrays)
+                        rows = ch_arrays[0]
+                        current = current.at[rows].set(solved,
+                                                       mode="drop")
+                        se_total = se_total + se
+                    return current, se_total
+                fn = jax.jit(phase, donate_argnums=(1,))
+                self._fn_cache[key] = fn
+            chunk_arrays = tuple((c.rows, c.nnz, c.cols, c.vals)
+                                 for c in chunks)
+            current, se_total = fn(table, current, chunk_arrays)
+            return current, (float(se_total) if collect_rmse_terms
+                             else 0.0)
+
+        table_ext = extend_table(table)
         # se parts stay on device: a float() per chunk would force a
         # blocking device sync and stall the dispatch pipeline.
         se_parts = []
         for ch in chunks:
-            x0 = jnp.take(current, ch.rows, axis=0, mode="fill",
-                          fill_value=0.0)
-            if use_pallas:
-                solved, se = gather_gram_cg(
-                    table_ext, ch.cols, ch.vals, ch.nnz, x0, cfg.lam,
-                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
-                if collect_rmse_terms:
-                    se_parts.append(jnp.sum(se))
-            else:
-                a, b = gram_rhs(table_ext, ch.cols, ch.vals, ch.nnz,
-                                cfg.lam, precision=cfg.gram_precision,
-                                factor_dtype=cfg.factor_dtype,
-                                gram_dtype=cfg.gram_dtype)
-                solved = solve(a, b, x0, solver=cfg.solver,
-                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
-                solved = solved * (ch.nnz > 0)[:, None]
-                if collect_rmse_terms:
-                    se_parts.append(fused_sq_err(a, b, ch.vals, ch.nnz,
-                                                 cfg.lam, solved))
+            solved, se = chunk_solve(table_ext, current,
+                                     (ch.rows, ch.nnz, ch.cols, ch.vals))
+            if collect_rmse_terms:
+                se_parts.append(se)
             current = current.at[ch.rows].set(solved, mode="drop")
         se_acc = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return current, se_acc
