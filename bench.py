@@ -83,7 +83,7 @@ def main() -> int:
                    choices=["xla", "pallas"])
     p.add_argument("--use-panels", default="auto",
                    choices=["auto", "never"])
-    p.add_argument("--fuse-phase", action="store_true")
+    p.add_argument("--no-fuse-phase", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
     args = p.parse_args()
@@ -109,7 +109,7 @@ def main() -> int:
                     gram_precision=args.gram_precision,
                     factor_dtype=args.factor_dtype,
                     backend=args.backend, use_panels=args.use_panels,
-                    fuse_phase=args.fuse_phase,
+                    fuse_phase=not args.no_fuse_phase,
                     train_rmse_method="fused", verbose=False,
                     debug_timing=False)
     t0 = time.monotonic()

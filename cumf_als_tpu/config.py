@@ -98,8 +98,10 @@ class ALSConfig:
     # Fuse a whole direct phase into one jitted program: chunk updates
     # are row-disjoint, so their solves are independent and XLA can
     # overlap gathers with kernels across chunks; write-back is one
-    # combined scatter. Costs compile time and peak-memory headroom.
-    fuse_phase: bool = False
+    # combined scatter. Costs compile time and peak-memory headroom;
+    # applied only when the phase has <= fuse_max_chunks chunks.
+    fuse_phase: bool = True
+    fuse_max_chunks: int = 64
 
     # --- checkpoint / resume (reference has none; SURVEY §5) ---
     checkpoint_dir: Optional[str] = None

@@ -318,7 +318,7 @@ class ALS:
                 if collect_rmse_terms else jnp.zeros((), jnp.float32)
             return solved, se
 
-        if cfg.fuse_phase:
+        if cfg.fuse_phase and len(chunks) <= cfg.fuse_max_chunks:
             # One jitted program for the whole phase: chunk solves are
             # row-disjoint and independent (warm starts read rows only
             # their own chunk writes), so write-back is a single scatter
