@@ -109,22 +109,34 @@ class ShardedALS:
             return self._fn_cache[key]
         cfg = self.cfg
 
+        use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
         def body(theta, x_shard, rows, nnz, cols, vals):
             # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
             xs = x_shard[0]
             # zero-extend: padded cols (== n) must gather zeros
             theta_ext = jnp.concatenate(
                 [theta, jnp.zeros((1, theta.shape[1]), theta.dtype)], axis=0)
-            a, b = _gram_local(theta_ext, cols[0], vals[0],
-                               cfg.gram_precision)
-            nnzf = nnz[0].astype(jnp.float32)
-            diag = nnzf * cfg.lam + (nnzf == 0)
-            a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
-                                                  dtype=jnp.float32)
             x0 = jnp.take(xs, rows[0], axis=0, mode="fill", fill_value=0.0)
-            solved = solve(a, b, x0, solver=cfg.solver,
-                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
-            solved = solved * (nnz[0] > 0)[:, None]
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
+                solved, _se = gather_gram_cg(
+                    theta_ext, cols[0], vals[0], nnz[0], x0, cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype)
+            else:
+                a, b = _gram_local(theta_ext, cols[0], vals[0],
+                                   cfg.gram_precision)
+                nnzf = nnz[0].astype(jnp.float32)
+                diag = nnzf * cfg.lam + (nnzf == 0)
+                a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
+                                                      dtype=jnp.float32)
+                solved = solve(a, b, x0, solver=cfg.solver,
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                solved = solved * (nnz[0] > 0)[:, None]
             xs = xs.at[rows[0]].set(solved, mode="drop")
             return xs[None]
 
