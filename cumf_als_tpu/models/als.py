@@ -49,6 +49,12 @@ class ALSResult:
     def final_test_rmse(self) -> float:
         return self.history[-1].test_rmse if self.history else float("nan")
 
+    def predict(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """Serving path: predicted ratings for (row, col) pairs — the
+        computation of the reference RMSE kernel (als.cu:191-219)
+        exposed as an API."""
+        return np.einsum("ij,ij->i", self.x[rows], self.theta[cols])
+
 
 class DeviceChunk:
     """A plan chunk's arrays resident on device."""

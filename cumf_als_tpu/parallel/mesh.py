@@ -36,6 +36,22 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize. After this,
+    make_mesh() sees all hosts' devices and the same shard_map programs
+    scale over DCN + ICI — the reference's single-box OpenMP topology
+    (hugewiki.cu:2447) has no multi-host path at all. No-op when JAX
+    auto-detects the cluster (TPU pods)."""
+    import jax
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def sharded_along(mesh: Mesh, axis: int = 0) -> NamedSharding:
     spec = [None] * (axis + 1)
     spec[axis] = DATA_AXIS

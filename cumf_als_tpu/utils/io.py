@@ -169,7 +169,11 @@ def transpose_csr(csr: CSRMatrix) -> CSRMatrix:
 def coo_to_csr(coo: COOMatrix) -> CSRMatrix:
     """COO -> CSR with column indices sorted within each row, matching
     scipy's tocsr output used by the prep scripts. Native two-pass
-    counting sort when libdataplane.so is built."""
+    counting sort when libdataplane.so is built.
+
+    Duplicate (row, col) entries are kept as-is (scipy sums them on
+    conversion); the reference's prep scripts assert exact nnz so real
+    datasets never carry duplicates (prepare_ml10M_data.py:96)."""
     m = coo.num_rows
     from cumf_als_tpu import native
     if native.available():
