@@ -65,7 +65,9 @@ def load_workload(name: str, scale: float, seed: int = 0):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="netflix",
-                   choices=["netflix", "ml10m", "yahoo"])
+                   choices=["netflix", "ml10m", "yahoo", "hugewiki_mini"])
+    p.add_argument("--out-of-core", action="store_true",
+                   help="host-resident X (the hugewiki XT_h path)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--f", type=int, default=100)
     p.add_argument("--iters", type=int, default=10)
@@ -96,7 +98,8 @@ def main() -> int:
     import jax
     log(f"[bench] devices: {jax.devices()}")
 
-    lam = {"netflix": 0.048, "ml10m": 0.05, "yahoo": 1.4}[args.workload]
+    lam = {"netflix": 0.048, "ml10m": 0.05, "yahoo": 1.4,
+           "hugewiki_mini": 0.048}[args.workload]
     train, test = load_workload(args.workload, args.scale)
 
     from cumf_als_tpu.config import ALSConfig
@@ -113,10 +116,16 @@ def main() -> int:
                     train_rmse_method="fused", verbose=False,
                     debug_timing=False)
     t0 = time.monotonic()
-    model = ALS(cfg, train, None, test)
-    log(f"[bench] plans built in {time.monotonic() - t0:.1f}s "
-        f"(x expansion {model.plan_x[0].expansion:.3f}, "
-        f"theta expansion {model.plan_theta[0].expansion:.3f})")
+    if args.out_of_core:
+        from cumf_als_tpu.models.out_of_core import OutOfCoreALS
+        model = OutOfCoreALS(cfg, train, None, test)
+        log(f"[bench] OOC plans built in {time.monotonic() - t0:.1f}s "
+            f"({model.plan_theta.n_panels} X panels)")
+    else:
+        model = ALS(cfg, train, None, test)
+        log(f"[bench] plans built in {time.monotonic() - t0:.1f}s "
+            f"(x expansion {model.plan_x[0].expansion:.3f}, "
+            f"theta expansion {model.plan_theta[0].expansion:.3f})")
 
     x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=cfg.seed)
     t0 = time.monotonic()

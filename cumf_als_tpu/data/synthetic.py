@@ -117,6 +117,13 @@ WORKLOAD_SHAPES = {
     "yahoo": dict(m=1_000_990, n=624_961, nnz=252_800_275,
                   nnz_test=4_003_960, skew=(0.45, 0.4),
                   rating_range=(0.0, 100.0)),
+    # hugewiki at 1/25 scale: same tall-skinny shape (m >> n), the
+    # out-of-core X regime (full hugewiki is 50M x 39.8k, 3.1B nnz —
+    # hugewiki.cu:27-42; generation at that size needs a multi-core
+    # host, this is the single-core-host compromise)
+    "hugewiki_mini": dict(m=2_000_000, n=39_780, nnz=124_000_000,
+                          nnz_test=2_000_000, skew=(0.35, 0.45),
+                          rating_range=(1.0, 5.0)),
 }
 
 
