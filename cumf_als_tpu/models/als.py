@@ -324,7 +324,13 @@ class ALS:
                 if collect_rmse_terms else jnp.zeros((), jnp.float32)
             return solved, se
 
-        if cfg.fuse_phase and len(chunks) <= cfg.fuse_max_chunks:
+        # Fusing is only safe on the pallas path: the XLA path
+        # materializes (R, f, f) Gram buffers per chunk, and inside one
+        # program the scheduler may overlap enough chunks to blow HBM
+        # (observed: 51 GB on Netflix/cholesky). The fused kernel keeps
+        # A in VMEM scratch, so chunk overlap costs only gather buffers.
+        if cfg.fuse_phase and use_pallas and \
+                len(chunks) <= cfg.fuse_max_chunks:
             # One jitted program for the whole phase: chunk solves are
             # row-disjoint and independent (warm starts read rows only
             # their own chunk writes), so write-back is a single scatter
