@@ -144,7 +144,10 @@ class ShardedALS:
             body, mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS))
+            out_specs=P(DATA_AXIS),
+            # pallas_call outputs carry no vma metadata; specs are
+            # explicit here so the check adds nothing
+            check_vma=False)
         self._fn_cache[key] = sm
         return sm
 
@@ -198,7 +201,7 @@ class ShardedALS:
             body, mesh=self.mesh,
             in_specs=(P(DATA_AXIS), P(), P(), P(DATA_AXIS), P(),
                       P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()))
+            out_specs=(P(), P()), check_vma=False)
         self._fn_cache[key] = sm
         return sm
 
@@ -298,7 +301,7 @@ class ShardedALS:
             body, mesh=self.mesh,
             in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
                       P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P())
+            out_specs=P(), check_vma=False)
         fn = jax.jit(sm)
         self._fn_cache[key] = fn
         return fn
