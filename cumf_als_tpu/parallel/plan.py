@@ -184,42 +184,48 @@ def build_reduce_plan(csc: CSRMatrix, row_plan: ShardedRowPlan,
     order = order[row_nnz[order] > 0]
 
     blocks: List[ReduceBlock] = []
+    indptr = np.asarray(csc.indptr, np.int64)
     for lo in range(0, order.size, block_rows):
         rows_b = order[lo:lo + block_rows]
         c_pad = block_rows
-        # split each row's ratings per device
-        split_cols = [[None] * c_pad for _ in range(n_dev)]
-        split_vals = [[None] * c_pad for _ in range(n_dev)]
-        nnz_local = np.zeros((n_dev, c_pad), np.int32)
+        b = rows_b.size
+        lens = row_nnz[rows_b]
+        total = int(lens.sum())
+        # flat (local_row, device, local_col, val) for the whole block,
+        # via a vectorized ragged gather
+        sub_indptr = np.zeros(b + 1, np.int64)
+        np.cumsum(lens, out=sub_indptr[1:])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(sub_indptr[:-1], lens)
+               + np.repeat(indptr[rows_b], lens))
+        lrow = np.repeat(np.arange(b, dtype=np.int64), lens)
+        gcol = csc.indices[pos]
+        dev = owner[gcol].astype(np.int64)
+        lcol = local[gcol]
+        val = csc.data[pos]
+        # group by (device, local_row) with one stable sort
+        key = dev * c_pad + lrow
+        sort = np.argsort(key, kind="stable")
+        key_s = key[sort]
+        counts = np.bincount(key_s, minlength=n_dev * c_pad)
+        nnz_local = counts.reshape(n_dev, c_pad).astype(np.int32)
         nnz_total = np.zeros(c_pad, np.int32)
-        width = 8
-        for i, j in enumerate(rows_b):
-            s, e = int(csc.indptr[j]), int(csc.indptr[j + 1])
-            cj = csc.indices[s:e]
-            vj = csc.data[s:e]
-            dj = owner[cj]
-            nnz_total[i] = e - s
-            for d in range(n_dev):
-                sel = dj == d
-                k = int(sel.sum())
-                nnz_local[d, i] = k
-                split_cols[d][i] = local[cj[sel]]
-                split_vals[d][i] = vj[sel]
-                width = max(width, _next_pow2(max(1, k)))
-        cols = np.full((n_dev, c_pad, width), row_plan.m_loc, np.int32)
-        vals = np.zeros((n_dev, c_pad, width), np.float32)
-        for d in range(n_dev):
-            for i in range(c_pad):
-                cc = split_cols[d][i]
-                if cc is None or len(cc) == 0:
-                    continue
-                cols[d, i, :len(cc)] = cc
-                vals[d, i, :len(cc)] = split_vals[d][i]
+        nnz_total[:b] = lens
+        width = max(8, _next_pow2(max(1, int(counts.max()))))
+        run_start = np.zeros(n_dev * c_pad, np.int64)
+        np.cumsum(counts[:-1], out=run_start[1:])
+        offset = np.arange(total, dtype=np.int64) - run_start[key_s]
+        flat = key_s * width + offset
+        cols = np.full(n_dev * c_pad * width, row_plan.m_loc, np.int32)
+        vals = np.zeros(n_dev * c_pad * width, np.float32)
+        cols[flat] = lcol[sort]
+        vals[flat] = val[sort]
         rows_out = np.full(c_pad, n, np.int32)
-        rows_out[:rows_b.size] = rows_b
-        blocks.append(ReduceBlock(width=width, rows=rows_out,
-                                  nnz_local=nnz_local,
-                                  nnz_total=nnz_total, cols=cols,
-                                  vals=vals))
+        rows_out[:b] = rows_b
+        blocks.append(ReduceBlock(
+            width=width, rows=rows_out, nnz_local=nnz_local,
+            nnz_total=nnz_total,
+            cols=cols.reshape(n_dev, c_pad, width),
+            vals=vals.reshape(n_dev, c_pad, width)))
     return ReducePlan(n_dev=n_dev, n=n, m_loc=row_plan.m_loc,
                       blocks=blocks)
