@@ -10,6 +10,7 @@ RMSE reporting (see SURVEY.md).
 
 from cumf_als_tpu.config import ALSConfig, HUGEWIKI, ML10M, NETFLIX, YAHOO
 from cumf_als_tpu.models.als import ALS, ALSResult, do_als
+from cumf_als_tpu.models.factory import make_model
 from cumf_als_tpu.utils.io import (COOMatrix, CSRMatrix, coo_to_csr,
                                    load_csr, load_csc_as_csr,
                                    load_test_coo, transpose_csr,
@@ -17,9 +18,21 @@ from cumf_als_tpu.utils.io import (COOMatrix, CSRMatrix, coo_to_csr,
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # heavier strategy classes import lazily (they pull in jax.sharding)
+    if name == "ShardedALS":
+        from cumf_als_tpu.parallel.sharded_als import ShardedALS
+        return ShardedALS
+    if name == "OutOfCoreALS":
+        from cumf_als_tpu.models.out_of_core import OutOfCoreALS
+        return OutOfCoreALS
+    raise AttributeError(name)
+
+
 __all__ = [
     "ALS", "ALSConfig", "ALSResult", "COOMatrix", "CSRMatrix",
-    "HUGEWIKI", "ML10M", "NETFLIX", "YAHOO", "coo_to_csr", "do_als",
-    "load_csr", "load_csc_as_csr", "load_test_coo", "transpose_csr",
-    "write_dataset",
+    "HUGEWIKI", "ML10M", "NETFLIX", "OutOfCoreALS", "ShardedALS",
+    "YAHOO", "coo_to_csr", "do_als", "load_csr", "load_csc_as_csr",
+    "load_test_coo", "make_model", "transpose_csr", "write_dataset",
 ]

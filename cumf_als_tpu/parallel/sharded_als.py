@@ -37,10 +37,12 @@ from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
 from cumf_als_tpu.utils.timing import seconds
 
 
-def _gram_local(table_ext, cols, vals, precision):
+def _gram_local(table_ext, cols, vals, precision, factor_dtype="f32"):
     """Local gather + MXU contraction (no regularizer — the caller adds
     it after any cross-device reduction)."""
     g = jnp.take(table_ext, cols, axis=0)
+    if factor_dtype == "bf16":  # CUMF_USE_HALF analog
+        g = g.astype(jnp.bfloat16)
     prec = _PRECISIONS[precision]
     a = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
                    preferred_element_type=jnp.float32)
@@ -129,7 +131,8 @@ class ShardedALS:
                     factor_dtype=cfg.factor_dtype)
             else:
                 a, b = _gram_local(theta_ext, cols[0], vals[0],
-                                   cfg.gram_precision)
+                                   cfg.gram_precision,
+                                   cfg.factor_dtype)
                 nnzf = nnz[0].astype(jnp.float32)
                 diag = nnzf * cfg.lam + (nnzf == 0)
                 a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
@@ -169,7 +172,8 @@ class ShardedALS:
                 [x_shard[0],
                  jnp.zeros((1, x_shard.shape[-1]), x_shard.dtype)], axis=0)
             a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
-                                         cfg.gram_precision)
+                                         cfg.gram_precision,
+                                         cfg.factor_dtype)
             # ICI all-reduce of partial Gram/RHS — replaces the reference's
             # anchor-GPU memcpy+saxpy loop (hugewiki.cu:2703-2730).
             a = jax.lax.psum(a_part, DATA_AXIS)
