@@ -55,7 +55,8 @@ def _row_block(width: int, f: int) -> int:
 
 def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
             b_scr, r2_scr,
-            *, lam: float, cg_iters: int, cg_tol: float, n_p: int):
+            *, lam: float, cg_iters: int, cg_tol: float, n_p: int,
+            debug: bool = False):
     pb = pl.program_id(1)
     f = out_ref.shape[-1]
 
@@ -94,7 +95,7 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         rsold = jnp.sum(r * r, axis=-1, keepdims=True)
         active = jnp.ones_like(rsold)
 
-        def body(_, carry):
+        def body(it, carry):
             x, r, p, rsold, active = carry
             ap = matvec(p)
             pap = jnp.sum(p * ap, axis=-1, keepdims=True)
@@ -104,6 +105,14 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
             x = x + alpha * p
             r = r - alpha * ap
             rsnew = jnp.sum(r * r, axis=-1, keepdims=True)
+            if debug:
+                # in-kernel CG tracing for system 0 of grid block 0 —
+                # the reference's DEBUG printf (cg.cu:93-111) analog
+                @pl.when(pl.program_id(0) == 0)
+                def _():
+                    pl.debug_print(
+                        "cg it={} rsold={} pap={} rsnew={}",
+                        it, rsold[0, 0], pap[0, 0], rsnew[0, 0])
             still = active * (rsnew >= cg_tol).astype(jnp.float32)
             safe_old = rsold + (rsold <= 0).astype(jnp.float32)
             beta = still * rsnew / safe_old
@@ -126,10 +135,10 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("lam", "cg_iters", "cg_tol"))
+                   static_argnames=("lam", "cg_iters", "cg_tol", "debug"))
 def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
                   x0: jnp.ndarray, lam: float, cg_iters: int = 6,
-                  cg_tol: float = 1e-4):
+                  cg_tol: float = 1e-4, debug: bool = False):
     """Solve one bucket chunk: G (R, P, f) gathered factors, vals (R, P),
     nnz (R,), x0 (R, f) warm start. Returns (x (R, f), se (R, 1)) where
     se holds the per-row training squared error of the solved factors."""
@@ -143,7 +152,8 @@ def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
     nnz_f = nnz.astype(jnp.float32).reshape(r, 1)
     kernel = functools.partial(_kernel, lam=float(lam),
                                cg_iters=int(cg_iters),
-                               cg_tol=float(cg_tol), n_p=n_p)
+                               cg_tol=float(cg_tol), n_p=n_p,
+                               debug=debug)
     return pl.pallas_call(
         kernel,
         grid=grid,
