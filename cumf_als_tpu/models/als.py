@@ -250,6 +250,40 @@ class ALS:
             current = current.at[gids].set(solved, mode="drop")
         return current, 0.0
 
+    def _panel_group_fn(self, shapes_key, n_chunks):
+        """One jit per panel: every chunk's partial Gram is independent
+        (subrows within a panel are disjoint across chunks), so XLA can
+        overlap the gathers/einsums; write-back is ONE scatter-add."""
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("panel_group", shapes_key)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        def group(table_panel, a_buf, b_buf, chunk_arrays):
+            from cumf_als_tpu.ops.gram import _PRECISIONS
+            f = table_panel.shape[1]
+            tpn = table_panel
+            if cfg.factor_dtype == "bf16":
+                tpn = tpn.astype(jnp.bfloat16)
+            tp = jnp.concatenate(
+                [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
+            prec = _PRECISIONS[cfg.gram_precision]
+            for rows, cols, vals in chunk_arrays:
+                g = jnp.take(tp, cols, axis=0)
+                a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                                    preferred_element_type=jnp.float32)
+                b_part = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
+                                    preferred_element_type=jnp.float32)
+                a_buf = a_buf.at[rows].add(a_part, mode="drop")
+                b_buf = b_buf.at[rows].add(b_part, mode="drop")
+            return a_buf, b_buf
+
+        fn = jax.jit(group, donate_argnums=(1, 2))
+        self._fn_cache[key] = fn
+        return fn
+
     def _update_phase_panelized(self, table, current, plan_pair,
                                 panel_provider=None):
         """Panelized Gram: per-panel partial (A, b) scatter-added into
@@ -269,15 +303,24 @@ class ALS:
         m, m_pad = plan.num_rows, aux["m_pad"]
         a_buf = jnp.zeros((m_pad, f, f), jnp.float32)
         b_buf = jnp.zeros((m_pad, f), jnp.float32)
-        cur_panel, tp = -1, None
+        by_panel = {}
         for ch in chunks:
-            if ch.panel != cur_panel:
-                tp = panel_provider(ch.panel)
-                cur_panel = ch.panel
-            a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
-                                        ch.vals, ch.rows,
-                                        cfg.gram_precision,
-                                        cfg.factor_dtype)
+            by_panel.setdefault(ch.panel, []).append(ch)
+        for p, group in sorted(by_panel.items()):
+            tp = panel_provider(p)
+            if cfg.fuse_phase and len(group) <= cfg.fuse_max_chunks:
+                shapes_key = tuple(
+                    (c.cols.shape[0], c.cols.shape[1]) for c in group)
+                fn = self._panel_group_fn(shapes_key, len(group))
+                a_buf, b_buf = fn(
+                    tp, a_buf, b_buf,
+                    tuple((c.rows, c.cols, c.vals) for c in group))
+                continue
+            for ch in group:
+                a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
+                                            ch.vals, ch.rows,
+                                            cfg.gram_precision,
+                                            cfg.factor_dtype)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
         batch = cfg.chunk_rows
         outs = []
