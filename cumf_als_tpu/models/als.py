@@ -261,6 +261,11 @@ class ALS:
             return self._fn_cache[key]
         cfg = self.cfg
 
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
         def group(table_panel, a_buf, b_buf, chunk_arrays):
             from cumf_als_tpu.ops.gram import _PRECISIONS
             f = table_panel.shape[1]
@@ -271,11 +276,18 @@ class ALS:
                 [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
             prec = _PRECISIONS[cfg.gram_precision]
             for rows, cols, vals in chunk_arrays:
-                g = jnp.take(tp, cols, axis=0)
-                a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
-                                    preferred_element_type=jnp.float32)
-                b_part = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
-                                    preferred_element_type=jnp.float32)
+                if use_pallas:
+                    from cumf_als_tpu.ops.pallas_solve import \
+                        gather_gram_out
+                    a_part, b_part = gather_gram_out(tp, cols, vals)
+                else:
+                    g = jnp.take(tp, cols, axis=0)
+                    a_part = jnp.einsum(
+                        "rpf,rpg->rfg", g, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+                    b_part = jnp.einsum(
+                        "rp,rpf->rf", vals, g, precision=prec,
+                        preferred_element_type=jnp.float32)
                 a_buf = a_buf.at[rows].add(a_part, mode="drop")
                 b_buf = b_buf.at[rows].add(b_part, mode="drop")
             return a_buf, b_buf
