@@ -86,6 +86,8 @@ def main() -> int:
     p.add_argument("--use-panels", default="auto",
                    choices=["auto", "never"])
     p.add_argument("--no-fuse-phase", action="store_true")
+    p.add_argument("--no-plan-cache", action="store_true",
+                   help="disable the on-disk plan cache")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
     args = p.parse_args()
@@ -113,6 +115,8 @@ def main() -> int:
                     factor_dtype=args.factor_dtype,
                     backend=args.backend, use_panels=args.use_panels,
                     fuse_phase=not args.no_fuse_phase,
+                    plan_cache_dir=(None if args.no_plan_cache else
+                                    os.path.join(CACHE_DIR, "plans")),
                     train_rmse_method="fused", verbose=False,
                     debug_timing=False)
     t0 = time.monotonic()

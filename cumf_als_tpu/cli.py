@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-of-core", action="store_true",
                    help="keep X host-resident (hugewiki XT_h path)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--plan-cache", default="auto",
+                   help="plan cache directory; 'auto' = "
+                        "<DATA_DIR>/.plan_cache, 'off' disables")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
@@ -72,7 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(a) -> ALSConfig:
+    import os
+    plan_cache = None if a.plan_cache == "off" else (
+        os.path.join(a.DATA_DIR, ".plan_cache")
+        if a.plan_cache == "auto" else a.plan_cache)
     return ALSConfig(
+        plan_cache_dir=plan_cache,
         m=a.M, n=a.N, f=a.F, nnz=a.NNZ, nnz_test=a.NNZ_TEST,
         lam=a.lambda_, x_batch=a.X_BATCH, theta_batch=a.THETA_BATCH,
         data_dir=a.DATA_DIR, iters=a.iters, solver=a.solver,

@@ -103,6 +103,14 @@ class ALSConfig:
     fuse_phase: bool = True
     fuse_max_chunks: int = 64
 
+    # --- plan cache ---
+    # Directory for the on-disk plan cache (utils/plan_cache.py): built
+    # update plans and the CSC transpose are persisted keyed by dataset
+    # fingerprint + shape knobs, making startup an mmap load instead of
+    # a rebuild (the reference's startup is an fread,
+    # host_utilities.cpp:19-97). None disables caching.
+    plan_cache_dir: Optional[str] = None
+
     # --- checkpoint / resume (reference has none; SURVEY §5) ---
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # iterations; 0 = disabled

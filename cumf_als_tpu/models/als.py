@@ -103,6 +103,22 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
     return a_buf, b_buf
 
 
+@jax.jit
+def _se_terms(a_buf, b_buf, x_new):
+    """-2*sum x.b + sum x^T A x over all rows, with A the *raw*
+    (unregularized) Gram accumulators; adding sum r^2 completes the
+    train squared error (exact identity, see ops/rmse.py). Rows with no
+    ratings have x == 0 and contribute nothing, so stray dummy-row
+    accumulator content is harmless."""
+    x = x_new.astype(jnp.float32)
+    cross = jnp.sum(x * b_buf)
+    aq = jnp.einsum("rfg,rg->rf", a_buf, x,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    quad = jnp.sum(x * aq)
+    return quad - 2.0 * cross
+
+
 @partial(jax.jit, static_argnames=("batch", "solver", "cg_iters"))
 def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
                  cg_iters, cg_tol):
@@ -131,10 +147,11 @@ class ALS:
     def __init__(self, cfg: ALSConfig, train_csr: CSRMatrix,
                  train_csc: Optional[CSRMatrix] = None,
                  test_coo: Optional[COOMatrix] = None):
-        from cumf_als_tpu.utils.io import transpose_csr
+        from cumf_als_tpu.utils.plan_cache import cached_transpose
         self.cfg = cfg
         self.train_csr = train_csr
-        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.train_csc = train_csc or cached_transpose(
+            cfg.plan_cache_dir, train_csr)
         self.test_coo = test_coo
         t0 = seconds()
         self.plan_x = self._build_phase_plan(self.train_csr)
@@ -156,20 +173,34 @@ class ALS:
         return "direct"
 
     def _build_phase_plan(self, csr: CSRMatrix):
+        from cumf_als_tpu.utils.plan_cache import cached_build
         cfg = self.cfg
         strategy = self._phase_strategy(csr)
         if strategy == "panel":
-            plan = build_panel_plan(csr, cfg.panel_size,
-                                    cfg.min_bucket_width, cfg.chunk_nnz,
-                                    cfg.chunk_rows)
+            params = dict(panel_size=cfg.panel_size,
+                          min_width=cfg.min_bucket_width,
+                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_rows=cfg.chunk_rows)
+            plan = cached_build(
+                cfg.plan_cache_dir, "panel", csr, params,
+                lambda: build_panel_plan(csr, **params))
         elif strategy == "batched_panel":
-            plan = build_batched_panel_plan(
-                csr, cfg.panel_size, cfg.chunk_rows,
-                cfg.min_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
+            params = dict(panel_size=cfg.panel_size,
+                          batch_rows=cfg.chunk_rows,
+                          min_width=cfg.min_bucket_width,
+                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_rows=cfg.chunk_rows)
+            plan = cached_build(
+                cfg.plan_cache_dir, "batched_panel", csr, params,
+                lambda: build_batched_panel_plan(csr, **params))
         else:
-            plan = build_update_plan(csr, cfg.min_bucket_width,
-                                     cfg.max_bucket_width, cfg.chunk_nnz,
-                                     cfg.chunk_rows)
+            params = dict(min_width=cfg.min_bucket_width,
+                          max_width=cfg.max_bucket_width,
+                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_rows=cfg.chunk_rows)
+            plan = cached_build(
+                cfg.plan_cache_dir, "update", csr, params,
+                lambda: build_update_plan(csr, **params))
         return self._device_plan(plan)
 
     def _device_plan(self, plan):
@@ -205,17 +236,29 @@ class ALS:
     def _update_phase(self, table: jnp.ndarray, current: jnp.ndarray,
                       plan_pair, collect_rmse_terms: bool):
         if isinstance(plan_pair[0], (PanelPlan, BatchedPanelPlan)):
-            if collect_rmse_terms:
-                raise NotImplementedError(
-                    "fused train RMSE requires the direct phase")
             if isinstance(plan_pair[0], BatchedPanelPlan):
-                return self._update_phase_batched_panel(table, current,
-                                                        plan_pair)
-            return self._update_phase_panelized(table, current, plan_pair)
+                return self._update_phase_batched_panel(
+                    table, current, plan_pair, collect_rmse_terms)
+            return self._update_phase_panelized(
+                table, current, plan_pair,
+                collect_rmse_terms=collect_rmse_terms)
         return self._update_phase_direct(table, current, plan_pair,
                                          collect_rmse_terms)
 
-    def _update_phase_batched_panel(self, table, current, plan_pair):
+    def _sum_r2(self) -> float:
+        """sum of squared training ratings, computed once (the r^2 term
+        of the identity-based fused train RMSE)."""
+        if not hasattr(self, "_r2"):
+            from cumf_als_tpu import native
+            if native.available():
+                self._r2 = native.sum_squares(self.train_csr.data)
+            else:
+                self._r2 = float(
+                    np.sum(self.train_csr.data.astype(np.float64) ** 2))
+        return self._r2
+
+    def _update_phase_batched_panel(self, table, current, plan_pair,
+                                    collect_rmse_terms: bool = False):
         """Two-level (row-batch x panel) Gram for both-sides-big phases:
         a reusable (B, f, f) accumulator per batch, panels sliced from
         the padded table (see ops/tiling.BatchedPanelPlan)."""
@@ -227,6 +270,7 @@ class ALS:
         table_pad = jnp.pad(
             table, ((0, n_panels * s - table.shape[0]), (0, 0)))
         bsz = plan.batch_rows
+        se_parts = []
         for gids, row_nnz, chunks in aux["batches"]:
             a_buf = jnp.zeros((bsz, f, f), jnp.float32)
             b_buf = jnp.zeros((bsz, f), jnp.float32)
@@ -247,8 +291,14 @@ class ALS:
                                   jnp.asarray(0, jnp.int32), cfg.lam,
                                   bsz, cfg.solver, cfg.cg_iters,
                                   cfg.cg_tol)
+            if collect_rmse_terms:
+                se_parts.append(_se_terms(a_buf, b_buf, solved))
             current = current.at[gids].set(solved, mode="drop")
-        return current, 0.0
+        se = 0.0
+        if collect_rmse_terms:
+            se = float(jnp.sum(jnp.stack(se_parts))) + self._sum_r2() \
+                if se_parts else self._sum_r2()
+        return current, se
 
     def _panel_group_fn(self, shapes_key, n_chunks):
         """One jit per panel: every chunk's partial Gram is independent
@@ -297,7 +347,8 @@ class ALS:
         return fn
 
     def _update_phase_panelized(self, table, current, plan_pair,
-                                panel_provider=None):
+                                panel_provider=None,
+                                collect_rmse_terms: bool = False):
         """Panelized Gram: per-panel partial (A, b) scatter-added into
         full accumulators, then batched solves. See PanelPlan.
         panel_provider(p) overrides panel sourcing (host streaming)."""
@@ -341,9 +392,12 @@ class ALS:
                 a_buf, b_buf, x0_full, aux["row_nnz_pad"],
                 jnp.asarray(lo, jnp.int32), cfg.lam, batch, cfg.solver,
                 cfg.cg_iters, cfg.cg_tol))
-        new = jnp.concatenate(outs, axis=0)[:m] if len(outs) > 1 \
-            else outs[0][:m]
-        return new, 0.0
+        new_pad = jnp.concatenate(outs, axis=0) if len(outs) > 1 \
+            else outs[0]
+        se = 0.0
+        if collect_rmse_terms:
+            se = float(_se_terms(a_buf, b_buf, new_pad)) + self._sum_r2()
+        return new_pad[:m], se
 
     def _update_phase_direct(self, table: jnp.ndarray,
                              current: jnp.ndarray, plan_pair,

@@ -60,19 +60,30 @@ class OutOfCoreALS:
     def __init__(self, cfg: ALSConfig, train_csr: CSRMatrix,
                  train_csc: Optional[CSRMatrix] = None,
                  test_coo: Optional[COOMatrix] = None):
+        from cumf_als_tpu.utils.plan_cache import (cached_build,
+                                                   cached_transpose)
         self.cfg = cfg
         self.train_csr = train_csr
-        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.train_csc = train_csc or cached_transpose(
+            cfg.plan_cache_dir, train_csr)
         self.test_coo = test_coo
         # X phase: bucketed chunks, gather table = theta (device).
         # Plan arrays stay HOST-side; streamed per chunk.
-        self.plan_x = build_update_plan(
-            train_csr, cfg.min_bucket_width, cfg.max_bucket_width,
-            cfg.chunk_nnz, cfg.chunk_rows)
+        x_params = dict(min_width=cfg.min_bucket_width,
+                        max_width=cfg.max_bucket_width,
+                        chunk_nnz=cfg.chunk_nnz,
+                        chunk_rows=cfg.chunk_rows)
+        self.plan_x = cached_build(
+            cfg.plan_cache_dir, "update", train_csr, x_params,
+            lambda: build_update_plan(train_csr, **x_params))
         # theta phase: panelized over X (host-streamed panels).
-        self.plan_theta = build_panel_plan(
-            self.train_csc, cfg.panel_size, cfg.min_bucket_width,
-            cfg.chunk_nnz, cfg.chunk_rows)
+        th_params = dict(panel_size=cfg.panel_size,
+                         min_width=cfg.min_bucket_width,
+                         chunk_nnz=cfg.chunk_nnz,
+                         chunk_rows=cfg.chunk_rows)
+        self.plan_theta = cached_build(
+            cfg.plan_cache_dir, "panel", self.train_csc, th_params,
+            lambda: build_panel_plan(self.train_csc, **th_params))
         batch = cfg.chunk_rows
         n = self.plan_theta.num_rows
         self.n_pad = -(-(n + 1) // batch) * batch

@@ -17,13 +17,33 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libdataplane.so")
+_SRC_PATH = os.path.join(_DIR, "dataplane.cpp")
 _lib: Optional[ctypes.CDLL] = None
+_build_tried = False
+
+
+def _ensure_built() -> None:
+    """Compile the library on first use when missing or older than its
+    source (the .so is a build artifact, never committed)."""
+    global _build_tried
+    if _build_tried or not os.path.exists(_SRC_PATH):
+        return
+    stale = (not os.path.exists(_LIB_PATH) or
+             os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH))
+    if stale:
+        _build_tried = True
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    _ensure_built()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -41,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i32p, f32p, i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
         i32p, f32p]
+    lib.materialize_subrows.restype = ctypes.c_int
+    lib.materialize_subrows.argtypes = [
+        i32p, f32p, i64p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, f32p]
     lib.expand_indptr.restype = ctypes.c_int
     lib.expand_indptr.argtypes = [ctypes.c_int64, i64p, i32p]
     lib.sum_squares.restype = ctypes.c_double
@@ -137,6 +162,35 @@ def materialize_chunk(indptr: np.ndarray, indices: np.ndarray,
         _p(vals_out, ctypes.c_float))
     if rc != 0:
         raise ValueError("materialize_chunk: row longer than bucket width")
+    return rows_out, nnz_out, cols_out, vals_out
+
+
+def materialize_subrows(indices: np.ndarray, data: np.ndarray,
+                        sub_off: np.ndarray, sub_len: np.ndarray,
+                        sub_rows: np.ndarray, r_pad: int, width: int,
+                        base: int, pad_col: int, pad_row: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    lib = _load()
+    assert lib is not None
+    k = sub_off.shape[0]
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float32)
+    sub_off = np.ascontiguousarray(sub_off, np.int64)
+    sub_len = np.ascontiguousarray(sub_len, np.int32)
+    sub_rows = np.ascontiguousarray(sub_rows, np.int32)
+    rows_out = np.empty(r_pad, np.int32)
+    nnz_out = np.empty(r_pad, np.int32)
+    cols_out = np.empty((r_pad, width), np.int32)
+    vals_out = np.empty((r_pad, width), np.float32)
+    rc = lib.materialize_subrows(
+        _p(indices, ctypes.c_int32), _p(data, ctypes.c_float),
+        _p(sub_off, ctypes.c_int64), _p(sub_len, ctypes.c_int32),
+        _p(sub_rows, ctypes.c_int32), k, r_pad, width, base, pad_col,
+        pad_row, _p(rows_out, ctypes.c_int32), _p(nnz_out, ctypes.c_int32),
+        _p(cols_out, ctypes.c_int32), _p(vals_out, ctypes.c_float))
+    if rc != 0:
+        raise ValueError("materialize_subrows: subrow longer than width")
     return rows_out, nnz_out, cols_out, vals_out
 
 

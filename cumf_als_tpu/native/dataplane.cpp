@@ -119,6 +119,41 @@ int materialize_chunk(const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+// Materialize one padded *panel* chunk (ops/tiling.PanelChunk layout):
+// subrows are (offset, length) runs of the flat nonzero arrays; columns
+// are rebased to panel-local ids (col - base). Rows beyond k are dummy
+// tails. This is the hot inner loop of build_panel_plan — one linear
+// pass instead of numpy fancy-indexing temporaries.
+int materialize_subrows(const int32_t* indices, const float* data,
+                        const int64_t* sub_off, const int32_t* sub_len,
+                        const int32_t* sub_rows, int64_t k, int64_t r_pad,
+                        int64_t width, int32_t base, int32_t pad_col,
+                        int32_t pad_row, int32_t* rows_out,
+                        int32_t* nnz_out, int32_t* cols_out,
+                        float* vals_out) {
+  for (int64_t i = 0; i < r_pad; ++i) {
+    int32_t* crow = cols_out + i * width;
+    float* vrow = vals_out + i * width;
+    if (i >= k) {  // dummy tail row
+      rows_out[i] = pad_row;
+      nnz_out[i] = 0;
+      for (int64_t p = 0; p < width; ++p) crow[p] = pad_col;
+      std::memset(vrow, 0, width * sizeof(float));
+      continue;
+    }
+    int64_t off = sub_off[i];
+    int64_t len = sub_len[i];
+    if (len > width) return -1;
+    rows_out[i] = sub_rows[i];
+    nnz_out[i] = static_cast<int32_t>(len);
+    for (int64_t p = 0; p < len; ++p) crow[p] = indices[off + p] - base;
+    std::memcpy(vrow, data + off, len * sizeof(float));
+    for (int64_t p = len; p < width; ++p) crow[p] = pad_col;
+    std::memset(vrow + len, 0, (width - len) * sizeof(float));
+  }
+  return 0;
+}
+
 // Expand indptr to per-nonzero row ids (R_train_coo.row contract,
 // reference main.cpp:103).
 int expand_indptr(int64_t m, const int64_t* indptr, int32_t* rows_out) {

@@ -65,27 +65,34 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
-def make_width_grid(min_width: int, max_len: int,
-                    fine: bool = True) -> List[int]:
+def make_width_grid(min_width: int, max_len: int, fine: bool = True,
+                    max_width: Optional[int] = None) -> List[int]:
     """Bucket widths: powers of two, plus quarter-octave points
     (5/4, 3/2, 7/4 * 2^k) from 16 up when `fine`. Padded rows cost full
     gather time on TPU (the gather is row-rate bound), so expansion is
     wall-clock, not just memory: 4 points/octave bounds the per-row pad
     at 1.25x (mean ~1.09x) vs 2x (mean ~1.33x) for pure powers of two.
     Every grid point is a multiple of 4, keeping Pallas lane tiles legal.
+
+    Above `max_width` the fine points are dropped: rows longer than
+    max_width still get a bucket (a row's Gram needs all its nonzeros
+    together) but only at pure powers of two, bounding the tail of
+    compiled shapes for extremely long rows.
     """
     grid = set()
     w = max(8, _next_pow2(min_width))
     top = max(w, _next_pow2(max(1, max_len)))
     while w <= top:
         grid.add(w)
-        if fine:
+        if fine and (max_width is None or w < max_width):
             grid.add(w * 3 // 2)
             if w >= 16:
                 grid.add(w * 5 // 4)
                 grid.add(w * 7 // 4)
         w *= 2
-    widths = sorted(grid)
+    widths = sorted(x for x in grid
+                    if max_width is None or x <= max_width
+                    or (x & (x - 1)) == 0)
     # keep only up to the smallest width covering max_len
     cut = next(x for x in widths if x >= max_len)
     return [x for x in widths if x <= cut]
@@ -126,7 +133,7 @@ def build_update_plan(
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     max_nnz = int(row_nnz.max()) if row_nnz.size else 0
     if widths is None:
-        widths = make_width_grid(min_width, max_nnz)
+        widths = make_width_grid(min_width, max_nnz, max_width=max_width)
     widths = sorted(set(int(w) for w in widths))
 
     # Assign each row the smallest width >= its nnz (empty rows are left
@@ -214,21 +221,32 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     nnz_total = int(row_nnz.sum())
 
-    # Subrow table, fully vectorized: a subrow is a maximal run of one
-    # row's (sorted) columns falling in one panel. Runs are boundaries
-    # of the (row, panel) key over the flat nonzero axis.
-    rows_flat = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
-    p_flat = (csr.indices.astype(np.int64) // panel_size)
-    key = rows_flat * n_panels + p_flat
-    change = np.nonzero(np.diff(key))[0] + 1
-    starts = np.concatenate([[0], change]) if nnz_total else \
-        np.zeros(0, np.int64)
-    ends = np.concatenate([change, [nnz_total]]) if nnz_total else \
-        np.zeros(0, np.int64)
-    sub_rows = rows_flat[starts].astype(np.int32) if nnz_total else \
-        np.zeros(0, np.int32)
-    sub_panel = p_flat[starts].astype(np.int32) if nnz_total else \
-        np.zeros(0, np.int32)
+    # Subrow table: a subrow is a maximal run of one row's (sorted)
+    # columns falling in one panel. Built without per-nonzero int64
+    # temporaries (np.repeat/astype over 1e8+ nnz dominate startup on a
+    # slow-memory host): run boundaries are panel changes on the flat
+    # axis unioned with row starts; owners recovered by searchsorted.
+    if panel_size & (panel_size - 1) == 0:
+        p_flat = csr.indices >> int(np.log2(panel_size))
+    else:
+        p_flat = csr.indices // np.int32(panel_size)
+    if nnz_total:
+        pc = np.flatnonzero(p_flat[1:] != p_flat[:-1]).astype(np.int64) + 1
+        indptr64 = np.asarray(csr.indptr[:-1], np.int64)
+        starts = np.unique(np.concatenate([pc, indptr64]))
+        starts = starts[starts < nnz_total]
+        ends = np.concatenate([starts[1:],
+                               np.asarray([nnz_total], np.int64)])
+        # owner row: largest r with indptr[r] <= start (empty rows share
+        # start values and lose the tie to the owning nonempty row)
+        sub_rows = (np.searchsorted(csr.indptr, starts, side="right")
+                    - 1).astype(np.int32)
+        sub_panel = p_flat[starts].astype(np.int32)
+    else:
+        starts = np.zeros(0, np.int64)
+        ends = np.zeros(0, np.int64)
+        sub_rows = np.zeros(0, np.int32)
+        sub_panel = np.zeros(0, np.int32)
     sub_off = starts
     sub_len = ends - starts
 
@@ -243,6 +261,8 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
     bounds = np.searchsorted(
         group_sorted, np.arange(n_panels * len(widths) + 1))
 
+    from cumf_als_tpu import native
+    use_native = native.available()
     chunks: List[PanelChunk] = []
     padded = 0
     for gid in range(n_panels * len(widths)):
@@ -259,19 +279,24 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
             k = part.size
             r_pad = rows_per_chunk if k == rows_per_chunk \
                 else _round_rows(k, rows_per_chunk)
-            rows = np.full(r_pad, m, np.int32)
-            nnz = np.zeros(r_pad, np.int32)
-            cols = np.full((r_pad, width), panel_size, np.int32)
-            vals = np.zeros((r_pad, width), np.float32)
-            lens = sub_len[part]
-            idx = sub_off[part][:, None] + arange_w
-            mask = arange_w < lens[:, None]
-            idx = np.where(mask, idx, 0)
-            rows[:k] = sub_rows[part]
-            nnz[:k] = lens
-            cols[:k] = np.where(mask, csr.indices[idx] - base,
-                                panel_size)
-            vals[:k] = np.where(mask, csr.data[idx], 0.0)
+            if use_native:
+                rows, nnz, cols, vals = native.materialize_subrows(
+                    csr.indices, csr.data, sub_off[part], sub_len[part],
+                    sub_rows[part], r_pad, width, base, panel_size, m)
+            else:
+                rows = np.full(r_pad, m, np.int32)
+                nnz = np.zeros(r_pad, np.int32)
+                cols = np.full((r_pad, width), panel_size, np.int32)
+                vals = np.zeros((r_pad, width), np.float32)
+                lens = sub_len[part]
+                idx = sub_off[part][:, None] + arange_w
+                mask = arange_w < lens[:, None]
+                idx = np.where(mask, idx, 0)
+                rows[:k] = sub_rows[part]
+                nnz[:k] = lens
+                cols[:k] = np.where(mask, csr.indices[idx] - base,
+                                    panel_size)
+                vals[:k] = np.where(mask, csr.data[idx], 0.0)
             chunks.append(PanelChunk(panel=p, width=width, rows=rows,
                                      nnz=nnz, cols=cols, vals=vals))
             padded += r_pad * width

@@ -336,9 +336,13 @@ class ShardedALS:
 
     def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
         cfg = self.cfg
-        # zero empty small-factor rows (excluded from every block)
+        # zero empty rows/cols (excluded from every chunk/block): their
+        # factors would otherwise keep their init values and pollute test
+        # predictions — the SURPASS_NAN-intended semantics (ALS.run twin)
         theta0 = theta0 * (np.diff(self.train_csc.indptr) > 0
                            ).astype(np.float32)[:, None]
+        x0 = x0 * (np.diff(self.train_csr.indptr) > 0
+                   ).astype(np.float32)[:, None]
         x = self.shard_x(x0)
         theta = self.replicate_theta(theta0)
         history: List[IterationMetrics] = []

@@ -1,0 +1,267 @@
+"""On-disk cache for built update plans.
+
+The reference's startup is an fread of prebuilt binaries (reference
+host_utilities.cpp:19-97); ours was a multi-minute plan build per
+process. This module persists built plans keyed by (dataset
+fingerprint, builder kind, shape knobs) so every later process mmap-loads
+them: chunk arrays are stored as flat .npy files and sliced as mmap
+views, so load cost is paid lazily during the first device upload.
+
+Layout per entry:  <cache_dir>/<key>/meta.json + <name>.npy
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import List, Optional
+
+import numpy as np
+
+from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelChunk,
+                                     PanelPlan, PlanChunk, RowBatch,
+                                     UpdatePlan)
+from cumf_als_tpu.utils.io import CSRMatrix
+
+_VERSION = 2  # bump when the serialized layout or plan semantics change
+
+
+def dataset_fingerprint(csr: CSRMatrix) -> str:
+    """Cheap content fingerprint: shapes + strided samples + head/tail
+    blocks. Strides are page-sparse so mmap'd sources stay cheap."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(
+        [csr.num_rows, csr.num_cols, csr.nnz], np.int64).tobytes())
+
+    def _sample(arr: np.ndarray, k: int = 4096) -> None:
+        n = arr.shape[0]
+        if n == 0:
+            return
+        step = max(1, n // k)
+        h.update(np.ascontiguousarray(arr[::step][:k]).tobytes())
+        h.update(np.ascontiguousarray(arr[:1024]).tobytes())
+        h.update(np.ascontiguousarray(arr[-1024:]).tobytes())
+
+    _sample(np.asarray(csr.indptr))
+    _sample(csr.indices)
+    _sample(csr.data)
+    return h.hexdigest()
+
+
+def plan_key(kind: str, fingerprint: str, params: dict) -> str:
+    blob = json.dumps({"v": _VERSION, "kind": kind, "fp": fingerprint,
+                       "params": params}, sort_keys=True)
+    return kind + "-" + hashlib.blake2b(
+        blob.encode(), digest_size=12).hexdigest()
+
+
+# ---------- chunk-list (de)serialization ----------
+
+def _pack_chunks(chunks) -> dict:
+    """Concatenate all chunks' arrays into flat buffers + a manifest of
+    (panel, width, r_pad) rows. Works for PlanChunk (panel = -1) and
+    PanelChunk alike."""
+    meta = np.asarray(
+        [(getattr(c, "panel", -1), c.width, c.rows.shape[0])
+         for c in chunks], np.int64).reshape(len(chunks), 3)
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt, copy=False)
+           if parts else np.zeros(0, dt))
+    return {
+        "chunk_meta": meta,
+        "rows": cat([c.rows for c in chunks], np.int32),
+        "nnz": cat([c.nnz for c in chunks], np.int32),
+        "cols": cat([c.cols.reshape(-1) for c in chunks], np.int32),
+        "vals": cat([c.vals.reshape(-1) for c in chunks], np.float32),
+    }
+
+
+def _unpack_chunks(arrays: dict, cls) -> List:
+    meta = np.asarray(arrays["chunk_meta"])
+    rows, nnz = arrays["rows"], arrays["nnz"]
+    cols, vals = arrays["cols"], arrays["vals"]
+    out, ro, co = [], 0, 0
+    for panel, width, r in meta:
+        panel, width, r = int(panel), int(width), int(r)
+        kw = dict(width=width,
+                  rows=rows[ro:ro + r], nnz=nnz[ro:ro + r],
+                  cols=cols[co:co + r * width].reshape(r, width),
+                  vals=vals[co:co + r * width].reshape(r, width))
+        if cls is PanelChunk:
+            kw["panel"] = panel
+        out.append(cls(**kw))
+        ro += r
+        co += r * width
+    return out
+
+
+def _write_entry(path: str, meta: dict, arrays: dict) -> None:
+    """Atomic write: stage into a tmp dir, rename into place."""
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent)
+    try:
+        for name, arr in arrays.items():
+            np.save(os.path.join(tmp, name + ".npy"),
+                    np.ascontiguousarray(arr))
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _read_entry(path: str):
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.isdir(path) or not os.path.exists(meta_path):
+        return None, None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    arrays = {}
+    for fn in os.listdir(path):
+        if fn.endswith(".npy"):
+            arrays[fn[:-4]] = np.load(os.path.join(path, fn),
+                                      mmap_mode="r")
+    return meta, arrays
+
+
+# ---------- plan-level save/load ----------
+
+def save_plan(cache_dir: str, key: str, plan) -> None:
+    path = os.path.join(cache_dir, key)
+    if isinstance(plan, UpdatePlan):
+        meta = {"type": "update", "num_rows": plan.num_rows,
+                "num_cols": plan.num_cols, "true_nnz": plan.true_nnz,
+                "padded_nnz": plan.padded_nnz}
+        _write_entry(path, meta, _pack_chunks(plan.chunks))
+    elif isinstance(plan, PanelPlan):
+        meta = {"type": "panel", "num_rows": plan.num_rows,
+                "num_cols": plan.num_cols, "panel_size": plan.panel_size,
+                "n_panels": plan.n_panels, "true_nnz": plan.true_nnz,
+                "padded_nnz": plan.padded_nnz}
+        arrays = _pack_chunks(plan.chunks)
+        arrays["row_nnz"] = plan.row_nnz
+        _write_entry(path, meta, arrays)
+    elif isinstance(plan, BatchedPanelPlan):
+        meta = {"type": "batched_panel", "num_rows": plan.num_rows,
+                "num_cols": plan.num_cols, "panel_size": plan.panel_size,
+                "batch_rows": plan.batch_rows, "true_nnz": plan.true_nnz,
+                "padded_nnz": plan.padded_nnz,
+                "batches": [
+                    {"n_chunks": len(b.plan.chunks),
+                     "num_rows": b.plan.num_rows,
+                     "true_nnz": b.plan.true_nnz,
+                     "padded_nnz": b.plan.padded_nnz,
+                     "n_panels": b.plan.n_panels}
+                    for b in plan.batches]}
+        all_chunks = [c for b in plan.batches for c in b.plan.chunks]
+        arrays = _pack_chunks(all_chunks)
+        arrays["global_ids"] = np.concatenate(
+            [b.global_ids for b in plan.batches]) if plan.batches \
+            else np.zeros(0, np.int32)
+        arrays["batch_row_nnz"] = np.concatenate(
+            [b.row_nnz for b in plan.batches]) if plan.batches \
+            else np.zeros(0, np.int32)
+        arrays["batch_plan_row_nnz"] = np.concatenate(
+            [b.plan.row_nnz for b in plan.batches]) if plan.batches \
+            else np.zeros(0, np.int32)
+        _write_entry(path, meta, arrays)
+    else:
+        raise TypeError(f"unknown plan type {type(plan)!r}")
+
+
+def load_plan(cache_dir: str, key: str):
+    meta, arrays = _read_entry(os.path.join(cache_dir, key))
+    if meta is None:
+        return None
+    if meta["type"] == "update":
+        return UpdatePlan(num_rows=meta["num_rows"],
+                          num_cols=meta["num_cols"],
+                          chunks=_unpack_chunks(arrays, PlanChunk),
+                          true_nnz=meta["true_nnz"],
+                          padded_nnz=meta["padded_nnz"])
+    if meta["type"] == "panel":
+        return PanelPlan(num_rows=meta["num_rows"],
+                         num_cols=meta["num_cols"],
+                         panel_size=meta["panel_size"],
+                         n_panels=meta["n_panels"],
+                         chunks=_unpack_chunks(arrays, PanelChunk),
+                         row_nnz=np.asarray(arrays["row_nnz"]),
+                         true_nnz=meta["true_nnz"],
+                         padded_nnz=meta["padded_nnz"])
+    if meta["type"] == "batched_panel":
+        chunks = _unpack_chunks(arrays, PanelChunk)
+        batches, ci, off = [], 0, 0
+        batch_rows = meta["batch_rows"]
+        nr_off = 0
+        for b in meta["batches"]:
+            sub = PanelPlan(
+                num_rows=b["num_rows"], num_cols=meta["num_cols"],
+                panel_size=meta["panel_size"], n_panels=b["n_panels"],
+                chunks=chunks[ci:ci + b["n_chunks"]],
+                row_nnz=np.asarray(
+                    arrays["batch_plan_row_nnz"]
+                    [nr_off:nr_off + b["num_rows"]]),
+                true_nnz=b["true_nnz"], padded_nnz=b["padded_nnz"])
+            batches.append(RowBatch(
+                global_ids=np.asarray(
+                    arrays["global_ids"][off:off + batch_rows]),
+                row_nnz=np.asarray(
+                    arrays["batch_row_nnz"][off:off + batch_rows]),
+                plan=sub))
+            ci += b["n_chunks"]
+            off += batch_rows
+            nr_off += b["num_rows"]
+        return BatchedPanelPlan(
+            num_rows=meta["num_rows"], num_cols=meta["num_cols"],
+            panel_size=meta["panel_size"], batch_rows=batch_rows,
+            batches=batches, true_nnz=meta["true_nnz"],
+            padded_nnz=meta["padded_nnz"])
+    raise ValueError(f"unknown plan entry type {meta['type']!r}")
+
+
+def cached_transpose(cache_dir: Optional[str], csr: CSRMatrix) -> CSRMatrix:
+    """Disk-memoized transpose_csr (the CSC view is pure function of the
+    dataset and costs a full counting sort over nnz)."""
+    from cumf_als_tpu.utils.io import transpose_csr
+    if not cache_dir:
+        return transpose_csr(csr)
+    key = plan_key("csc", dataset_fingerprint(csr), {})
+    path = os.path.join(cache_dir, key)
+    meta, arrays = _read_entry(path)
+    if meta is not None:
+        return CSRMatrix(indptr=np.asarray(arrays["indptr"]),
+                         indices=arrays["indices"], data=arrays["data"],
+                         num_rows=meta["num_rows"],
+                         num_cols=meta["num_cols"])
+    csc = transpose_csr(csr)
+    try:
+        _write_entry(path, {"type": "csc", "num_rows": csc.num_rows,
+                            "num_cols": csc.num_cols},
+                     {"indptr": np.asarray(csc.indptr),
+                      "indices": csc.indices, "data": csc.data})
+    except Exception:
+        pass
+    return csc
+
+
+def cached_build(cache_dir: Optional[str], kind: str, csr: CSRMatrix,
+                 params: dict, build_fn):
+    """Memoize build_fn() on disk. cache_dir None disables caching."""
+    if not cache_dir:
+        return build_fn()
+    key = plan_key(kind, dataset_fingerprint(csr), params)
+    try:
+        plan = load_plan(cache_dir, key)
+    except Exception:
+        plan = None  # corrupt/stale entry: rebuild
+    if plan is not None:
+        return plan
+    plan = build_fn()
+    try:
+        save_plan(cache_dir, key, plan)
+    except Exception:
+        pass  # caching is best-effort
+    return plan
