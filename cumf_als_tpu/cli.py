@@ -53,8 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gram-dtype", choices=["f32", "bf16"], default="f32")
     p.add_argument("--gram-precision",
                    choices=["highest", "high", "default"], default="highest")
+    # "fused" computes the identical value through the free Gram/RHS
+    # identity (ops/rmse.py) with zero extra device syncs; "direct"
+    # re-gathers per nonzero like the reference RMSE kernel
+    # (als.cu:191-219).
     p.add_argument("--train-rmse", choices=["direct", "fused"],
-                   default="direct")
+                   default="fused")
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     p.add_argument("--use-panels", choices=["auto", "never"],
                    default="auto")

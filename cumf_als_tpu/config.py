@@ -81,6 +81,14 @@ class ALSConfig:
     # (chunk_rows * f_pad^2 * 4 bytes), the dominant allocation — the
     # analog of the reference's per-batch tt buffer (als.cu:780-783).
     chunk_rows: int = 1 << 14
+    # Width-grid density: 4 = quarter-octave (pad <= 1.25x/row),
+    # 8 = eighth-octave from width 64 up (pad <= 1.125x where the mass
+    # is, ~2x the compiled shapes). Padding is wall-clock on TPU.
+    octave_points: int = 8
+    # Panel-path subrows longer than this split into exact segments
+    # (partial Grams sum over any partition of a row); kills the
+    # wide-bucket dummy tail. 0 disables.
+    split_width: int = 4096
 
     # --- kernels ---
     # "xla": bucketed gather + einsum path; "pallas": fused Pallas kernels

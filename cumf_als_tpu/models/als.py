@@ -85,7 +85,11 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
     full-phase accumulators. The panel (<= panel_size rows) is small
     enough for XLA to stage on chip, which is the whole point; it can be
     a slice of a device-resident factor or a host-streamed shard (the
-    out-of-core XT_h path, reference hugewiki.cu:2300-2302)."""
+    out-of-core XT_h path, reference hugewiki.cu:2300-2302).
+
+    a_buf may be bf16 (the CUMF_TT_FP16 analog, reference als.cu:30-31):
+    partials are then rounded at each panel scatter-add — the accuracy
+    cost is quantified in docs/PERFORMANCE.md."""
     from cumf_als_tpu.ops.gram import _PRECISIONS
     f = table_panel.shape[1]
     if factor_dtype == "bf16":  # CUMF_USE_HALF analog
@@ -98,7 +102,7 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
                         preferred_element_type=jnp.float32)
     b_part = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
                         preferred_element_type=jnp.float32)
-    a_buf = a_buf.at[rows].add(a_part, mode="drop")
+    a_buf = a_buf.at[rows].add(a_part.astype(a_buf.dtype), mode="drop")
     b_buf = b_buf.at[rows].add(b_part, mode="drop")
     return a_buf, b_buf
 
@@ -112,7 +116,7 @@ def _se_terms(a_buf, b_buf, x_new):
     accumulator content is harmless."""
     x = x_new.astype(jnp.float32)
     cross = jnp.sum(x * b_buf)
-    aq = jnp.einsum("rfg,rg->rf", a_buf, x,
+    aq = jnp.einsum("rfg,rg->rf", a_buf.astype(jnp.float32), x,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     quad = jnp.sum(x * aq)
@@ -180,7 +184,9 @@ class ALS:
             params = dict(panel_size=cfg.panel_size,
                           min_width=cfg.min_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
-                          chunk_rows=cfg.chunk_rows)
+                          chunk_rows=cfg.chunk_rows,
+                          split_width=cfg.split_width,
+                          octave_points=cfg.octave_points)
             plan = cached_build(
                 cfg.plan_cache_dir, "panel", csr, params,
                 lambda: build_panel_plan(csr, **params))
@@ -189,7 +195,9 @@ class ALS:
                           batch_rows=cfg.chunk_rows,
                           min_width=cfg.min_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
-                          chunk_rows=cfg.chunk_rows)
+                          chunk_rows=cfg.chunk_rows,
+                          split_width=cfg.split_width,
+                          octave_points=cfg.octave_points)
             plan = cached_build(
                 cfg.plan_cache_dir, "batched_panel", csr, params,
                 lambda: build_batched_panel_plan(csr, **params))
@@ -197,7 +205,8 @@ class ALS:
             params = dict(min_width=cfg.min_bucket_width,
                           max_width=cfg.max_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
-                          chunk_rows=cfg.chunk_rows)
+                          chunk_rows=cfg.chunk_rows,
+                          octave_points=cfg.octave_points)
             plan = cached_build(
                 cfg.plan_cache_dir, "update", csr, params,
                 lambda: build_update_plan(csr, **params))
@@ -231,6 +240,21 @@ class ALS:
 
     def _unpad_f(self, arr: jnp.ndarray) -> np.ndarray:
         return np.asarray(arr[:, :self.cfg.f])
+
+    # ----- CUMF_SAVE_MODEL Gram dumps -----
+    def _dump_gram(self, a, b, what: str) -> None:
+        """Dump a Gram/RHS slice for offline solver A/B diffing — the
+        reference's CUMF_SAVE_MODEL tt/xx dumps (reference als.cu:33,
+        49-57, 800-807) at the same granularity. `what` encodes
+        phase+iteration, e.g. 'tt_iter003' (theta Gram used to update X)
+        or 'xx_iter003' (X Gram used to update theta)."""
+        from cumf_als_tpu.utils.checkpoint import save_debug_array
+        k = min(int(a.shape[0]), 1024)
+        save_debug_array(self.cfg.save_model_dir, what,
+                         np.asarray(a[:k], np.float32))
+        save_debug_array(self.cfg.save_model_dir, what.replace(
+            "tt", "ytheta").replace("xx", "yTX"),
+            np.asarray(b[:k], np.float32))
 
     # ----- one phase -----
     def _update_phase(self, table: jnp.ndarray, current: jnp.ndarray,
@@ -269,10 +293,12 @@ class ALS:
         n_panels = -(-plan.num_cols // s)
         table_pad = jnp.pad(
             table, ((0, n_panels * s - table.shape[0]), (0, 0)))
+        first_batch = True
         bsz = plan.batch_rows
+        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
         se_parts = []
         for gids, row_nnz, chunks in aux["batches"]:
-            a_buf = jnp.zeros((bsz, f, f), jnp.float32)
+            a_buf = jnp.zeros((bsz, f, f), a_dtype)
             b_buf = jnp.zeros((bsz, f), jnp.float32)
             cur_panel, tp = -1, None
             for ch in chunks:
@@ -285,6 +311,10 @@ class ALS:
                                             ch.vals, ch.rows,
                                             cfg.gram_precision,
                                             cfg.factor_dtype)
+            if first_batch and cfg.save_model and \
+                    getattr(self, "_save_tag", None):
+                self._dump_gram(a_buf, b_buf, self._save_tag)
+            first_batch = False
             x0 = jnp.take(current, gids, axis=0, mode="fill",
                           fill_value=0.0)
             solved = _solve_slice(a_buf, b_buf, x0, row_nnz,
@@ -329,7 +359,8 @@ class ALS:
                 if use_pallas:
                     from cumf_als_tpu.ops.pallas_solve import \
                         gather_gram_out
-                    a_part, b_part = gather_gram_out(tp, cols, vals)
+                    a_part, b_part = gather_gram_out(
+                        tp, cols, vals, out_dtype=str(a_buf.dtype))
                 else:
                     g = jnp.take(tp, cols, axis=0)
                     a_part = jnp.einsum(
@@ -338,7 +369,8 @@ class ALS:
                     b_part = jnp.einsum(
                         "rp,rpf->rf", vals, g, precision=prec,
                         preferred_element_type=jnp.float32)
-                a_buf = a_buf.at[rows].add(a_part, mode="drop")
+                a_buf = a_buf.at[rows].add(a_part.astype(a_buf.dtype),
+                                           mode="drop")
                 b_buf = b_buf.at[rows].add(b_part, mode="drop")
             return a_buf, b_buf
 
@@ -364,7 +396,8 @@ class ALS:
                 return _slice_panel(table_pad,
                                     jnp.asarray(p * s, jnp.int32), s)
         m, m_pad = plan.num_rows, aux["m_pad"]
-        a_buf = jnp.zeros((m_pad, f, f), jnp.float32)
+        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        a_buf = jnp.zeros((m_pad, f, f), a_dtype)
         b_buf = jnp.zeros((m_pad, f), jnp.float32)
         by_panel = {}
         for ch in chunks:
@@ -384,6 +417,8 @@ class ALS:
                                             ch.vals, ch.rows,
                                             cfg.gram_precision,
                                             cfg.factor_dtype)
+        if cfg.save_model and getattr(self, "_save_tag", None):
+            self._dump_gram(a_buf, b_buf, self._save_tag)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
         batch = cfg.chunk_rows
         outs = []
@@ -410,6 +445,12 @@ class ALS:
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
+        if chunks and cfg.save_model and getattr(self, "_save_tag", None):
+            ch = chunks[0]
+            a_d, b_d = gram_rhs(extend_table(table), ch.cols, ch.vals,
+                                ch.nnz, cfg.lam,
+                                precision=cfg.gram_precision)
+            self._dump_gram(a_d, b_d, self._save_tag)
 
         def chunk_solve(table_ext, current, ch_arrays):
             rows, nnz, cols, vals = ch_arrays
@@ -508,6 +549,9 @@ class ALS:
                 print(f"---------------------------ALS iteration {it}, "
                       f"update X.----------------------------------")
             t0 = seconds()
+            # tt = theta Gram feeding the X update (reference naming,
+            # als.cu:800-807); dumped when save_model is on.
+            self._save_tag = f"tt_iter{it:03d}" if cfg.save_model else None
             x, _ = self._update_phase(theta, x, self.plan_x, False)
             x.block_until_ready()
             tx = seconds() - t0
@@ -519,6 +563,7 @@ class ALS:
                 print(f"---------------------------------- ALS iteration "
                       f"{it}, update theta ----------------------------------")
             t0 = seconds()
+            self._save_tag = f"xx_iter{it:03d}" if cfg.save_model else None
             want_fused = cfg.train_rmse_method == "fused"
             theta, se_acc = self._update_phase(
                 x, theta, self.plan_theta, want_fused)

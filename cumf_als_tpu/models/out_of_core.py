@@ -47,7 +47,7 @@ def _ooc_se_terms(a_buf, b_buf, th_new):
     complete the train squared error."""
     th = th_new.astype(jnp.float32)
     cross = jnp.sum(th * b_buf)
-    aq = jnp.einsum("rfg,rg->rf", a_buf, th,
+    aq = jnp.einsum("rfg,rg->rf", a_buf.astype(jnp.float32), th,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     quad = jnp.sum(th * aq)
@@ -72,7 +72,8 @@ class OutOfCoreALS:
         x_params = dict(min_width=cfg.min_bucket_width,
                         max_width=cfg.max_bucket_width,
                         chunk_nnz=cfg.chunk_nnz,
-                        chunk_rows=cfg.chunk_rows)
+                        chunk_rows=cfg.chunk_rows,
+                        octave_points=cfg.octave_points)
         self.plan_x = cached_build(
             cfg.plan_cache_dir, "update", train_csr, x_params,
             lambda: build_update_plan(train_csr, **x_params))
@@ -80,7 +81,9 @@ class OutOfCoreALS:
         th_params = dict(panel_size=cfg.panel_size,
                          min_width=cfg.min_bucket_width,
                          chunk_nnz=cfg.chunk_nnz,
-                         chunk_rows=cfg.chunk_rows)
+                         chunk_rows=cfg.chunk_rows,
+                         split_width=cfg.split_width,
+                         octave_points=cfg.octave_points)
         self.plan_theta = cached_build(
             cfg.plan_cache_dir, "panel", self.train_csc, th_params,
             lambda: build_panel_plan(self.train_csc, **th_params))
@@ -142,7 +145,8 @@ class OutOfCoreALS:
         f = cfg.f_pad
         s = plan.panel_size
         m = plan.num_cols  # X rows
-        a_buf = jnp.zeros((self.n_pad, f, f), jnp.float32)
+        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        a_buf = jnp.zeros((self.n_pad, f, f), a_dtype)
         b_buf = jnp.zeros((self.n_pad, f), jnp.float32)
         cur_panel, tp = -1, None
         for ch in plan.chunks:

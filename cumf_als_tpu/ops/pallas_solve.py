@@ -207,14 +207,17 @@ def _gram_kernel(g_ref, vals_ref, a_ref, b_ref, a_scr, b_scr, *,
 
     @pl.when(pb == n_p - 1)
     def _():
-        a_ref[...] = a_scr[...]
+        a_ref[...] = a_scr[...].astype(a_ref.dtype)
         b_ref[...] = b_scr[...]
 
 
-@functools.partial(jax.jit, static_argnames=("factor_dtype",))
-def gather_gram_out(table_ext, cols, vals, factor_dtype="f32"):
+@functools.partial(jax.jit, static_argnames=("factor_dtype", "out_dtype"))
+def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
+                    out_dtype="float32"):
     """XLA gather + Pallas Gram: returns raw (A, b) partials (no
-    regularizer — the caller reduces across panels first)."""
+    regularizer — the caller reduces across panels first). A accumulates
+    f32 in VMEM; out_dtype="bfloat16" writes the partial bf16 (halving
+    its HBM write — the CUMF_TT_FP16 analog, reference als.cu:30-31)."""
     g = jnp.take(table_ext, cols, axis=0)
     if factor_dtype == "bf16":
         g = g.astype(jnp.bfloat16)
@@ -224,6 +227,7 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32"):
     while r % rb:
         rb //= 2
     n_p = p // pb
+    a_dtype = jnp.dtype(out_dtype)
     kernel = functools.partial(_gram_kernel, n_p=n_p)
     return pl.pallas_call(
         kernel,
@@ -241,7 +245,7 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32"):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, f, f), jnp.float32),
+            jax.ShapeDtypeStruct((r, f, f), a_dtype),
             jax.ShapeDtypeStruct((r, f), jnp.float32),
         ),
         scratch_shapes=[

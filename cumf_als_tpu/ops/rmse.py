@@ -32,11 +32,13 @@ def _sq_err_chunk(x, theta, rows, cols, vals, weight):
 def rmse_direct(x, theta, rows, cols, vals, chunk: int = 1 << 21) -> float:
     """sqrt(mean(e^2)) over the given COO entries, chunked so the factor
     gathers stay within a bounded transient footprint. rows/cols/vals are
-    host numpy arrays; x/theta live on device."""
+    host numpy arrays; x/theta live on device. Per-chunk partial sums stay
+    on device (a float() per chunk would force a blocking sync and stall
+    the dispatch pipeline); one scalar comes back at the end."""
     nnz = int(vals.shape[0])
     if nnz == 0:
         return 0.0
-    total = 0.0
+    parts = []
     ones = np.ones(chunk, np.float32)
     for lo in range(0, nnz, chunk):
         hi = min(lo + chunk, nnz)
@@ -50,9 +52,11 @@ def rmse_direct(x, theta, rows, cols, vals, chunk: int = 1 << 21) -> float:
             c = np.concatenate([cols[lo:hi], np.zeros(pad, cols.dtype)])
             v = np.concatenate([vals[lo:hi], np.zeros(pad, vals.dtype)])
             w = np.concatenate([ones[:hi - lo], np.zeros(pad, np.float32)])
-        total += float(_sq_err_chunk(x, theta, jnp.asarray(r),
-                                     jnp.asarray(c), jnp.asarray(v),
-                                     jnp.asarray(w)))
+        parts.append(_sq_err_chunk(x, theta, jnp.asarray(r),
+                                   jnp.asarray(c), jnp.asarray(v),
+                                   jnp.asarray(w)))
+    total = float(jnp.sum(jnp.stack(parts))) if len(parts) > 1 \
+        else float(parts[0])
     return float(np.sqrt(total / nnz))
 
 

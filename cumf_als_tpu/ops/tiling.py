@@ -66,13 +66,17 @@ def _next_pow2(x: int) -> int:
 
 
 def make_width_grid(min_width: int, max_len: int, fine: bool = True,
-                    max_width: Optional[int] = None) -> List[int]:
+                    max_width: Optional[int] = None,
+                    octave_points: int = 4) -> List[int]:
     """Bucket widths: powers of two, plus quarter-octave points
-    (5/4, 3/2, 7/4 * 2^k) from 16 up when `fine`. Padded rows cost full
-    gather time on TPU (the gather is row-rate bound), so expansion is
-    wall-clock, not just memory: 4 points/octave bounds the per-row pad
-    at 1.25x (mean ~1.09x) vs 2x (mean ~1.33x) for pure powers of two.
-    Every grid point is a multiple of 4, keeping Pallas lane tiles legal.
+    (5/4, 3/2, 7/4 * 2^k) from 16 up when `fine`, plus eighth-octave
+    points (9/8, 11/8, 13/8, 15/8 * 2^k) from 64 up when
+    octave_points >= 8. Padded rows cost full gather time on TPU (the
+    gather is row-rate bound), so expansion is wall-clock, not just
+    memory: 4 points/octave bounds the per-row pad at 1.25x (mean
+    ~1.09x) vs 2x (mean ~1.33x) for pure powers of two; 8 points bound
+    it at 1.125x (mean ~1.05x) where most nonzeros sit. Every grid
+    point is a multiple of 4, keeping Pallas lane tiles legal.
 
     Above `max_width` the fine points are dropped: rows longer than
     max_width still get a bucket (a row's Gram needs all its nonzeros
@@ -89,6 +93,11 @@ def make_width_grid(min_width: int, max_len: int, fine: bool = True,
             if w >= 16:
                 grid.add(w * 5 // 4)
                 grid.add(w * 7 // 4)
+            if octave_points >= 8 and w >= 64:
+                grid.add(w * 9 // 8)
+                grid.add(w * 11 // 8)
+                grid.add(w * 13 // 8)
+                grid.add(w * 15 // 8)
         w *= 2
     widths = sorted(x for x in grid
                     if max_width is None or x <= max_width
@@ -99,10 +108,23 @@ def make_width_grid(min_width: int, max_len: int, fine: bool = True,
 
 
 def _round_rows(r: int, cap: int) -> int:
-    """Row-count shape for a final (ragged) chunk: next power of two,
-    capped — bounds dummy-tail padding at <2x instead of filling the
-    whole chunk with dummies."""
-    return min(cap, max(8, _next_pow2(r)))
+    """Row-count shape for a final (ragged) chunk: the next 4-bit-mantissa
+    value that is a multiple of 8 (8..128 step 8, then {8..15}*2^e).
+
+    Dummy tail rows cost a FULL row of gather+Gram work each (every
+    padded slot is wall-clock on TPU), and a plan has one ragged chunk
+    per (panel, width) group — next-pow2 rounding put 0.32x of Netflix's
+    X-phase nonzeros into dummy rows. Mantissa rounding bounds the
+    overshoot at 12.5% of one chunk while keeping the set of compiled
+    shapes small (<= 8 per octave). Multiples of 8 keep Pallas sublane
+    tiles legal."""
+    if r >= cap:
+        return cap
+    r8 = max(8, -(-r // 8) * 8)
+    if r8 <= 128:
+        return min(cap, r8)
+    e = r8.bit_length() - 4
+    return min(cap, -(-r8 >> e) << e)
 
 
 def _rows_per_chunk(width: int, chunk_nnz: int, chunk_rows: int) -> int:
@@ -119,6 +141,7 @@ def build_update_plan(
     chunk_nnz: int = 1 << 22,
     chunk_rows: int = 1 << 14,
     widths: Optional[Sequence[int]] = None,
+    octave_points: int = 4,
 ) -> UpdatePlan:
     """Build the bucketed plan for one phase from row-compressed ratings.
 
@@ -133,7 +156,8 @@ def build_update_plan(
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     max_nnz = int(row_nnz.max()) if row_nnz.size else 0
     if widths is None:
-        widths = make_width_grid(min_width, max_nnz, max_width=max_width)
+        widths = make_width_grid(min_width, max_nnz, max_width=max_width,
+                                 octave_points=octave_points)
     widths = sorted(set(int(w) for w in widths))
 
     # Assign each row the smallest width >= its nnz (empty rows are left
@@ -212,10 +236,20 @@ class PanelPlan:
 
 def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                      min_width: int = 8, chunk_nnz: int = 1 << 22,
-                     chunk_rows: int = 1 << 14) -> PanelPlan:
+                     chunk_rows: int = 1 << 14,
+                     split_width: int = 4096,
+                     octave_points: int = 4) -> PanelPlan:
     """Split each row's column list at panel boundaries (cols are sorted
     within rows, so subrows are contiguous slices), then bucket subrows
-    by power-of-two width per (panel, width)."""
+    by power-of-two width per (panel, width).
+
+    Subrows longer than `split_width` are further split into exact
+    split_width segments plus a remainder: partial Grams scatter-add
+    into per-row accumulators, so a row's nonzeros may be partitioned
+    arbitrarily. This removes the wide-bucket tail (few very long
+    subrows per (panel, width) group each paying the 8-row minimum
+    chunk shape in dummies — 6.5% of Netflix X-phase nonzeros) and
+    makes the long-row mass land in one uniform, fully-packed shape."""
     m = csr.num_rows
     n_panels = -(-csr.num_cols // panel_size)
     row_nnz = np.diff(csr.indptr).astype(np.int64)
@@ -250,8 +284,23 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
     sub_off = starts
     sub_len = ends - starts
 
+    # Split subrows longer than split_width into exact segments + rest.
+    if split_width and sub_len.size and int(sub_len.max()) > split_width:
+        n_full = sub_len // split_width
+        rem = sub_len - n_full * split_width
+        counts = (n_full + (rem > 0)).astype(np.int64)
+        idx = np.repeat(np.arange(sub_len.size, dtype=np.int64), counts)
+        excl = np.zeros(sub_len.size, np.int64)
+        np.cumsum(counts[:-1], out=excl[1:])
+        seg_i = np.arange(idx.size, dtype=np.int64) - excl[idx]
+        sub_off = sub_off[idx] + seg_i * split_width
+        sub_len = np.where(seg_i < n_full[idx], split_width, rem[idx])
+        sub_rows = sub_rows[idx]
+        sub_panel = sub_panel[idx]
+
     max_len = int(sub_len.max()) if sub_len.size else 1
-    widths = make_width_grid(min_width, max_len)
+    widths = make_width_grid(min_width, max_len,
+                             octave_points=octave_points)
     widx = np.searchsorted(widths, sub_len)
 
     # group subrows by (panel, width) with one argsort
@@ -341,7 +390,9 @@ def build_batched_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                              batch_rows: int = 1 << 14,
                              min_width: int = 8,
                              chunk_nnz: int = 1 << 22,
-                             chunk_rows: int = 1 << 14
+                             chunk_rows: int = 1 << 14,
+                             split_width: int = 4096,
+                             octave_points: int = 4
                              ) -> BatchedPanelPlan:
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     order = np.argsort(-row_nnz, kind="stable")
@@ -366,7 +417,8 @@ def build_batched_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
         sub = CSRMatrix(indptr=sub_indptr, indices=sub_idx, data=sub_dat,
                         num_rows=b, num_cols=csr.num_cols)
         plan = build_panel_plan(sub, panel_size, min_width, chunk_nnz,
-                                chunk_rows)
+                                chunk_rows, split_width=split_width,
+                                octave_points=octave_points)
         gids = np.full(batch_rows, csr.num_rows, np.int32)
         gids[:b] = ids
         nnz_b = np.zeros(batch_rows, np.int32)

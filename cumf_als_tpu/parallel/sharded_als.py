@@ -311,25 +311,25 @@ class ShardedALS:
         return fn
 
     # ---------- one full iteration (jittable end to end) ----------
-    def iteration(self, x_sharded, theta):
+    def iteration(self, x_sharded, theta, device_data=None):
         """One ALS iteration: X phase (model parallel), theta phase
-        (data parallel + psum). Returns (x, theta, train_sq_err)."""
-        for ch in self.row_plan.chunks:
+        (data parallel + psum). Returns (x, theta, train_sq_err).
+
+        device_data: optional (chunk_data, block_data) from
+        device_plan() — the plan arrays already resident with their
+        shardings. Without it every chunk re-uploads host arrays, which
+        costs a full plan transfer per iteration; run() always passes
+        the resident plan."""
+        if device_data is None:
+            device_data = self.device_plan()
+        chunk_data, block_data = device_data
+        for arrs, ch in zip(chunk_data, self.row_plan.chunks):
             fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
-            x_sharded = fn(theta, x_sharded,
-                           jax.device_put(ch.rows, self._shard),
-                           jax.device_put(ch.nnz, self._shard),
-                           jax.device_put(ch.cols, self._shard),
-                           jax.device_put(ch.vals, self._shard))
+            x_sharded = fn(theta, x_sharded, *arrs)
         se_parts = []
-        for bl in self.reduce_plan.blocks:
+        for arrs, bl in zip(block_data, self.reduce_plan.blocks):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
-            theta, se = fn(x_sharded, theta,
-                           jax.device_put(bl.rows, self._repl),
-                           jax.device_put(bl.nnz_local, self._shard),
-                           jax.device_put(bl.nnz_total, self._repl),
-                           jax.device_put(bl.cols, self._shard),
-                           jax.device_put(bl.vals, self._shard))
+            theta, se = fn(x_sharded, theta, *arrs)
             se_parts.append(se)
         se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return x_sharded, theta, se_total
@@ -345,6 +345,7 @@ class ShardedALS:
                    ).astype(np.float32)[:, None]
         x = self.shard_x(x0)
         theta = self.replicate_theta(theta0)
+        device_data = self.device_plan()  # plan resident for the run
         history: List[IterationMetrics] = []
         if cfg.verbose:
             print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
@@ -354,7 +355,7 @@ class ShardedALS:
             print("*******start iterations...")
         for it in range(cfg.iters):
             t0 = seconds()
-            x, theta, se = self.iteration(x, theta)
+            x, theta, se = self.iteration(x, theta, device_data)
             theta.block_until_ready()
             dt = seconds() - t0
             train_rmse = float(np.sqrt(max(se, 0.0) / self.train_csr.nnz))

@@ -25,7 +25,7 @@ from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelChunk,
                                      UpdatePlan)
 from cumf_als_tpu.utils.io import CSRMatrix
 
-_VERSION = 2  # bump when the serialized layout or plan semantics change
+_VERSION = 3  # bump when the serialized layout or plan semantics change
 
 
 def dataset_fingerprint(csr: CSRMatrix) -> str:

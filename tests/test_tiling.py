@@ -71,7 +71,9 @@ def test_skewed_row_gets_own_bucket():
 
 def test_chunk_shapes_bounded_within_bucket():
     """Full chunks in a bucket share one shape; the ragged final chunk is
-    rounded to a power of two (so compiled-shape count stays O(log))."""
+    a multiple of 8 with a <=4-bit mantissa (dummy rows cost full
+    gather+Gram work each, so the tail shape hugs the true row count
+    while the compiled-shape count stays O(log))."""
     csr = _csr(1000, 100, 30000, seed=6)
     plan = build_update_plan(csr, chunk_nnz=1 << 12)
     by_width = {}
@@ -79,8 +81,10 @@ def test_chunk_shapes_bounded_within_bucket():
         by_width.setdefault(ch.width, []).append(ch.num_rows)
     for width, sizes in by_width.items():
         full = max(sizes)
-        # at most one non-full chunk, and it is a power of two
+        # at most one non-full chunk, 8-aligned with a small mantissa
         ragged = [s for s in sizes if s != full]
         assert len(ragged) <= 1, (width, sizes)
         for s in ragged:
-            assert s & (s - 1) == 0
+            assert s % 8 == 0 and s >= 8
+            mantissa = s >> max(0, s.bit_length() - 4)
+            assert s <= 128 or (mantissa << max(0, s.bit_length() - 4)) == s
