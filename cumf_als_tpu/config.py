@@ -109,7 +109,7 @@ class ALSConfig:
     # combined scatter. Costs compile time and peak-memory headroom;
     # applied only when the phase has <= fuse_max_chunks chunks.
     fuse_phase: bool = True
-    fuse_max_chunks: int = 64
+    fuse_max_chunks: int = 256
 
     # --- plan cache ---
     # Directory for the on-disk plan cache (utils/plan_cache.py): built

@@ -107,6 +107,54 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
     return a_buf, b_buf
 
 
+def make_panel_group_fn(cfg, cache: dict, shapes_key):
+    """One jit per panel: every chunk's partial Gram is independent
+    (subrows within a panel are disjoint across chunks), so XLA can
+    overlap the gathers/einsums; write-back is ONE scatter-add per
+    chunk and the (A, b) accumulators are donated through. Shared by
+    the panel, batched-panel and out-of-core theta paths."""
+    key = ("panel_group", shapes_key)
+    if key in cache:
+        return cache[key]
+
+    use_pallas = cfg.backend == "pallas"
+    if use_pallas:
+        from cumf_als_tpu.ops.pallas_solve import fused_available
+        use_pallas = fused_available()
+
+    def group(table_panel, a_buf, b_buf, chunk_arrays):
+        from cumf_als_tpu.ops.gram import _PRECISIONS
+        f = table_panel.shape[1]
+        tpn = table_panel
+        if cfg.factor_dtype == "bf16":
+            tpn = tpn.astype(jnp.bfloat16)
+        tp = jnp.concatenate(
+            [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
+        prec = _PRECISIONS[cfg.gram_precision]
+        for rows, cols, vals in chunk_arrays:
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import \
+                    gather_gram_out
+                a_part, b_part = gather_gram_out(
+                    tp, cols, vals, out_dtype=str(a_buf.dtype))
+            else:
+                g = jnp.take(tp, cols, axis=0)
+                a_part = jnp.einsum(
+                    "rpf,rpg->rfg", g, g, precision=prec,
+                    preferred_element_type=jnp.float32)
+                b_part = jnp.einsum(
+                    "rp,rpf->rf", vals, g, precision=prec,
+                    preferred_element_type=jnp.float32)
+            a_buf = a_buf.at[rows].add(a_part.astype(a_buf.dtype),
+                                       mode="drop")
+            b_buf = b_buf.at[rows].add(b_part, mode="drop")
+        return a_buf, b_buf
+
+    fn = jax.jit(group, donate_argnums=(1, 2))
+    cache[key] = fn
+    return fn
+
+
 @jax.jit
 def _se_terms(a_buf, b_buf, x_new):
     """-2*sum x.b + sum x^T A x over all rows, with A the *raw*
@@ -300,17 +348,31 @@ class ALS:
         for gids, row_nnz, chunks in aux["batches"]:
             a_buf = jnp.zeros((bsz, f, f), a_dtype)
             b_buf = jnp.zeros((bsz, f), jnp.float32)
-            cur_panel, tp = -1, None
+            by_panel = {}
             for ch in chunks:
-                if ch.panel != cur_panel:
-                    tp = _slice_panel(table_pad,
-                                      jnp.asarray(ch.panel * s, jnp.int32),
-                                      s)
-                    cur_panel = ch.panel
-                a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
-                                            ch.vals, ch.rows,
-                                            cfg.gram_precision,
-                                            cfg.factor_dtype)
+                by_panel.setdefault(ch.panel, []).append(ch)
+            for p, group in sorted(by_panel.items()):
+                tp = _slice_panel(table_pad,
+                                  jnp.asarray(p * s, jnp.int32), s)
+                if cfg.fuse_phase and len(group) <= cfg.fuse_max_chunks:
+                    # single-dispatch fused group per panel: Pallas
+                    # gram-out + one scatter-add, buffers donated
+                    # (same routing as the panel path — this is what
+                    # closes the Yahoo ns/nnz gap vs Netflix)
+                    shapes_key = tuple(
+                        (c.cols.shape[0], c.cols.shape[1])
+                        for c in group)
+                    fn = self._panel_group_fn(shapes_key, len(group))
+                    a_buf, b_buf = fn(
+                        tp, a_buf, b_buf,
+                        tuple((c.rows, c.cols, c.vals) for c in group))
+                    continue
+                for ch in group:
+                    a_buf, b_buf = _panel_accum(tp, a_buf, b_buf,
+                                                ch.cols, ch.vals,
+                                                ch.rows,
+                                                cfg.gram_precision,
+                                                cfg.factor_dtype)
             if first_batch and cfg.save_model and \
                     getattr(self, "_save_tag", None):
                 self._dump_gram(a_buf, b_buf, self._save_tag)
@@ -331,52 +393,9 @@ class ALS:
         return current, se
 
     def _panel_group_fn(self, shapes_key, n_chunks):
-        """One jit per panel: every chunk's partial Gram is independent
-        (subrows within a panel are disjoint across chunks), so XLA can
-        overlap the gathers/einsums; write-back is ONE scatter-add."""
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
-        key = ("panel_group", shapes_key)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
-        cfg = self.cfg
-
-        use_pallas = cfg.backend == "pallas"
-        if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import fused_available
-            use_pallas = fused_available()
-
-        def group(table_panel, a_buf, b_buf, chunk_arrays):
-            from cumf_als_tpu.ops.gram import _PRECISIONS
-            f = table_panel.shape[1]
-            tpn = table_panel
-            if cfg.factor_dtype == "bf16":
-                tpn = tpn.astype(jnp.bfloat16)
-            tp = jnp.concatenate(
-                [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
-            prec = _PRECISIONS[cfg.gram_precision]
-            for rows, cols, vals in chunk_arrays:
-                if use_pallas:
-                    from cumf_als_tpu.ops.pallas_solve import \
-                        gather_gram_out
-                    a_part, b_part = gather_gram_out(
-                        tp, cols, vals, out_dtype=str(a_buf.dtype))
-                else:
-                    g = jnp.take(tp, cols, axis=0)
-                    a_part = jnp.einsum(
-                        "rpf,rpg->rfg", g, g, precision=prec,
-                        preferred_element_type=jnp.float32)
-                    b_part = jnp.einsum(
-                        "rp,rpf->rf", vals, g, precision=prec,
-                        preferred_element_type=jnp.float32)
-                a_buf = a_buf.at[rows].add(a_part.astype(a_buf.dtype),
-                                           mode="drop")
-                b_buf = b_buf.at[rows].add(b_part, mode="drop")
-            return a_buf, b_buf
-
-        fn = jax.jit(group, donate_argnums=(1, 2))
-        self._fn_cache[key] = fn
-        return fn
+        return make_panel_group_fn(self.cfg, self._fn_cache, shapes_key)
 
     def _update_phase_panelized(self, table, current, plan_pair,
                                 panel_provider=None,
@@ -493,6 +512,12 @@ class ALS:
                 self._fn_cache = {}
             if fn is None:
                 def phase(table, current, chunk_arrays):
+                    # bf16 table BEFORE the gather: halves both the
+                    # staged-table bytes and the materialized G buffer
+                    # (the gather's consumer-side cast only got the
+                    # latter). CUMF_USE_HALF semantics either way.
+                    if cfg.factor_dtype == "bf16":
+                        table = table.astype(jnp.bfloat16)
                     table_ext = extend_table(table)
                     se_total = jnp.zeros((), jnp.float32)
                     for ch_arrays in chunk_arrays:
@@ -511,6 +536,8 @@ class ALS:
             return current, (float(se_total) if collect_rmse_terms
                              else 0.0)
 
+        if cfg.factor_dtype == "bf16":
+            table = table.astype(jnp.bfloat16)
         table_ext = extend_table(table)
         # se parts stay on device: a float() per chunk would force a
         # blocking device sync and stall the dispatch pipeline.

@@ -4,6 +4,9 @@ The reference makes this choice at compile time (als.cu single-GPU vs the
 hugewiki binary with GPU_COUNT/X_BATCH hardcoded, hugewiki.cu:27-42);
 here it is one config switch:
 
+  - mesh_shape + host_offload_x -> ShardedOutOfCoreALS (the full
+                             hugewiki program: sharded ratings, X shards
+                             host-resident and streamed, psum reduction)
   - mesh_shape set        -> ShardedALS (multi-chip SPMD over ICI)
   - host_offload_x        -> OutOfCoreALS (X host-resident, panels
                              streamed; the hugewiki out-of-core path)
@@ -22,10 +25,15 @@ def make_model(cfg: ALSConfig, train_csr: CSRMatrix,
                train_csc: Optional[CSRMatrix] = None,
                test_coo: Optional[COOMatrix] = None):
     if cfg.mesh_shape:
-        from cumf_als_tpu.parallel.sharded_als import ShardedALS
         n_dev = 1
         for d in cfg.mesh_shape:
             n_dev *= d
+        if cfg.host_offload_x:
+            from cumf_als_tpu.parallel.sharded_ooc import \
+                ShardedOutOfCoreALS
+            return ShardedOutOfCoreALS(cfg, train_csr, train_csc,
+                                       test_coo, n_devices=n_dev)
+        from cumf_als_tpu.parallel.sharded_als import ShardedALS
         return ShardedALS(cfg, train_csr, train_csc, test_coo,
                           n_devices=n_dev)
     if cfg.host_offload_x:

@@ -97,6 +97,8 @@ class OutOfCoreALS:
     # ---------- phases ----------
     def _x_phase(self, x_host: np.ndarray, theta: jnp.ndarray) -> None:
         cfg = self.cfg
+        if cfg.factor_dtype == "bf16":  # halve table+G bytes pre-gather
+            theta = theta.astype(jnp.bfloat16)
         table_ext = extend_table(theta)
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
         if use_pallas:
@@ -148,20 +150,44 @@ class OutOfCoreALS:
         a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
         a_buf = jnp.zeros((self.n_pad, f, f), a_dtype)
         b_buf = jnp.zeros((self.n_pad, f), jnp.float32)
-        cur_panel, tp = -1, None
+
+        def panel_slice(p):
+            lo = p * s
+            sl = x_host[lo:min(lo + s, m)]
+            if sl.shape[0] < s:
+                sl = np.pad(sl, ((0, s - sl.shape[0]), (0, 0)))
+            # device_put is async: issued one panel ahead, the H2D
+            # transfer overlaps the previous panel's accumulation (the
+            # reference overlapped via per-GPU OpenMP threads,
+            # hugewiki.cu:2629-2680; here the DMA stream is the thread)
+            return jax.device_put(np.ascontiguousarray(sl))
+
+        by_panel = {}
         for ch in plan.chunks:
-            if ch.panel != cur_panel:
-                lo = ch.panel * s
-                sl = x_host[lo:min(lo + s, m)]
-                if sl.shape[0] < s:
-                    sl = np.pad(sl, ((0, s - sl.shape[0]), (0, 0)))
-                tp = jax.device_put(sl)
-                cur_panel = ch.panel
-            dc = DeviceChunk(ch)
-            a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, dc.cols,
-                                        dc.vals, dc.rows,
-                                        cfg.gram_precision,
-                                        cfg.factor_dtype)
+            by_panel.setdefault(ch.panel, []).append(ch)
+        panels = sorted(by_panel)
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        nxt = panel_slice(panels[0]) if panels else None
+        for i, p in enumerate(panels):
+            tp, nxt = nxt, (panel_slice(panels[i + 1])
+                            if i + 1 < len(panels) else None)
+            group = by_panel[p]
+            if cfg.fuse_phase and len(group) <= cfg.fuse_max_chunks:
+                from cumf_als_tpu.models.als import make_panel_group_fn
+                shapes_key = tuple(
+                    (c.cols.shape[0], c.cols.shape[1]) for c in group)
+                fn = make_panel_group_fn(cfg, self._fn_cache, shapes_key)
+                a_buf, b_buf = fn(
+                    tp, a_buf, b_buf,
+                    tuple((c.rows, c.cols, c.vals) for c in group))
+                continue
+            for ch in group:
+                dc = DeviceChunk(ch)
+                a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, dc.cols,
+                                            dc.vals, dc.rows,
+                                            cfg.gram_precision,
+                                            cfg.factor_dtype)
         n = plan.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         batch = cfg.chunk_rows

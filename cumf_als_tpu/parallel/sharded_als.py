@@ -119,6 +119,8 @@ class ShardedALS:
         def body(theta, x_shard, rows, nnz, cols, vals):
             # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
             xs = x_shard[0]
+            if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
+                theta = theta.astype(jnp.bfloat16)
             # zero-extend: padded cols (== n) must gather zeros
             theta_ext = jnp.concatenate(
                 [theta, jnp.zeros((1, theta.shape[1]), theta.dtype)], axis=0)

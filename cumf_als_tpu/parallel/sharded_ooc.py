@@ -1,0 +1,483 @@
+"""Sharded + out-of-core ALS: the full hugewiki capability.
+
+The reference's hugewiki app combines THREE mechanisms in one program
+(reference hugewiki/hugewiki.cu:2248-2888): the tall factor XT lives in
+pinned host memory (XT_h, hugewiki.cu:2300-2302) and is streamed through
+device memory batch by batch (2560-2572); the rating matrix is sharded
+across 4 GPUs; and the small-factor update all-reduces partial Gram
+matrices via an anchor-GPU memcpy+cublasSaxpy loop (2703-2730). Round-1
+had sharding (parallel/sharded_als.py) and host-resident X
+(models/out_of_core.py) only separately; this module is the combination,
+sized for the real workload (m=50M, nnz=3.1B, hugewiki.cu:27-42):
+
+  - rows are nnz-balanced across a 1-D mesh; each device's X shard stays
+    HOST-resident (the XT_h analog) — full X is m*f*4 B (25.6 GB at
+    hugewiki scale), more than one chip holds once plan arrays join it;
+  - X phase: per aligned chunk shape, (x0, nnz, cols, vals) stream to
+    the devices as (n_dev, R, P) sharded arrays, a shard_map'd fused
+    Gram+CG solves against the replicated small factor (the hugewiki
+    X-phase gather table is theta, 39,780 rows — on-chip gather rate),
+    and solved rows stream back to host double-buffered (the OpenMP
+    per-GPU streaming pipeline, hugewiki.cu:2447-2496, as async
+    device_put/get);
+  - theta phase: for each panel index, every device uploads one <=64k
+    panel of its LOCAL X shard and accumulates partial (A, b) over ALL
+    theta rows from its panel-local ratings; after the last panel the
+    partials are psum'd over ICI (replacing hugewiki.cu:2703-2730) and
+    theta solves replicated;
+  - plan arrays are never device-resident in aggregate: at hugewiki
+    scale they are ~8 B/padded-nnz (~30 GB), so they stream per chunk
+    exactly like the reference re-uploads CSR slices per batch
+    (hugewiki.cu:2508-2516). All flat offsets are int64 (nnz > 2^31).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cumf_als_tpu.config import ALSConfig
+from cumf_als_tpu.models.als import ALSResult, IterationMetrics
+from cumf_als_tpu.ops.gram import _PRECISIONS
+from cumf_als_tpu.ops.solve import solve
+from cumf_als_tpu.ops.tiling import build_panel_plan
+from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from cumf_als_tpu.parallel.plan import (ShardedRowPlan,
+                                        build_sharded_row_plan)
+from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
+from cumf_als_tpu.utils.timing import seconds
+
+
+class _AlignedPanelChunk:
+    """One theta-phase step: every device's subrow chunk for the same
+    (panel index, shape). Arrays carry a leading device axis; devices
+    with fewer chunks in this (panel, width) group get dummy rows."""
+
+    __slots__ = ("panel", "width", "rows", "nnz", "cols", "vals")
+
+    def __init__(self, panel, width, rows, nnz, cols, vals):
+        self.panel = panel
+        self.width = width
+        self.rows = rows      # (n_dev, R) theta ids, == n for dummies
+        self.nnz = nnz        # (n_dev, R) subrow lengths
+        self.cols = cols      # (n_dev, R, P) panel-LOCAL x ids
+        self.vals = vals      # (n_dev, R, P)
+
+
+def _align_panel_plans(plans, n: int, panel_size: int):
+    """Merge per-device PanelPlans (over each device's local X) into a
+    lockstep schedule: for each panel index, chunks grouped by shape and
+    padded with dummy chunks so all devices run the same program."""
+    n_dev = len(plans)
+    n_panels = max(p.n_panels for p in plans)
+    steps: List[_AlignedPanelChunk] = []
+    for pi in range(n_panels):
+        # shape -> list of per-device chunk lists
+        by_shape = {}
+        for d, plan in enumerate(plans):
+            for ch in plan.chunks:
+                if ch.panel != pi:
+                    continue
+                key = (ch.rows.shape[0], ch.width)
+                by_shape.setdefault(key, [[] for _ in range(n_dev)])
+                by_shape[key][d].append(ch)
+        for (r, width), per_dev in sorted(by_shape.items()):
+            count = max(len(c) for c in per_dev)
+            for k in range(count):
+                rows = np.full((n_dev, r), n, np.int32)
+                nnz = np.zeros((n_dev, r), np.int32)
+                cols = np.full((n_dev, r, width), panel_size, np.int32)
+                vals = np.zeros((n_dev, r, width), np.float32)
+                for d in range(n_dev):
+                    if k < len(per_dev[d]):
+                        ch = per_dev[d][k]
+                        rows[d] = ch.rows
+                        nnz[d] = ch.nnz
+                        cols[d] = ch.cols
+                        vals[d] = ch.vals
+                steps.append(_AlignedPanelChunk(pi, width, rows, nnz,
+                                                cols, vals))
+    return steps, n_panels
+
+
+class ShardedOutOfCoreALS:
+    """Multi-chip ALS with the large factor host-resident per shard."""
+
+    def __init__(self, cfg: ALSConfig, train_csr: CSRMatrix,
+                 train_csc: Optional[CSRMatrix] = None,
+                 test_coo: Optional[COOMatrix] = None,
+                 n_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(n_devices)
+        self.n_dev = self.mesh.devices.size
+        self.train_csr = train_csr
+        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.test_coo = test_coo
+        self._shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._repl = NamedSharding(self.mesh, P())
+        self._fn_cache = {}
+
+        # --- X phase: nnz-balanced row shards, aligned bucket chunks.
+        # Plan arrays stay host-side numpy; streamed per chunk.
+        self.row_plan: ShardedRowPlan = build_sharded_row_plan(
+            train_csr, self.n_dev, cfg.min_bucket_width,
+            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
+
+        # --- theta phase: per-device panel plans over LOCAL X ids.
+        # Each device's sub-matrix: theta rows x its local x columns.
+        m_loc = self.row_plan.m_loc
+        self.panel_size = min(cfg.panel_size, 1 << 16)
+        per_dev_plans = []
+        csc = self.train_csc
+        col_owner = np.zeros(train_csr.num_rows + 1, np.int32)
+        col_local = np.zeros(train_csr.num_rows + 1, np.int32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < train_csr.num_rows
+            col_owner[ids[valid]] = d
+            col_local[ids[valid]] = np.arange(m_loc, dtype=np.int32)[valid]
+        indptr = np.asarray(csc.indptr, np.int64)
+        lens = np.diff(indptr)
+        owner_flat = col_owner[csc.indices]
+        local_flat = col_local[csc.indices]
+        row_of = np.repeat(np.arange(csc.num_rows, dtype=np.int64), lens)
+        for d in range(self.n_dev):
+            sel = owner_flat == d
+            r_d = row_of[sel]
+            c_d = local_flat[sel]
+            v_d = csc.data[sel]
+            order = np.lexsort((c_d, r_d))
+            r_d, c_d, v_d = r_d[order], c_d[order], v_d[order]
+            sub_indptr = np.zeros(csc.num_rows + 1, np.int64)
+            np.cumsum(np.bincount(r_d, minlength=csc.num_rows),
+                      out=sub_indptr[1:])
+            sub = CSRMatrix(indptr=sub_indptr,
+                            indices=c_d.astype(np.int32),
+                            data=v_d.astype(np.float32),
+                            num_rows=csc.num_rows, num_cols=m_loc)
+            per_dev_plans.append(build_panel_plan(
+                sub, panel_size=self.panel_size,
+                min_width=cfg.min_bucket_width, chunk_nnz=cfg.chunk_nnz,
+                chunk_rows=cfg.chunk_rows, split_width=cfg.split_width,
+                octave_points=cfg.octave_points))
+        self.theta_steps, self.n_panels = _align_panel_plans(
+            per_dev_plans, csc.num_rows, self.panel_size)
+        self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
+
+        batch = cfg.chunk_rows
+        n = csc.num_rows
+        self.n_pad = -(-(n + 1) // batch) * batch
+        nnz_pad = np.zeros(self.n_pad, np.int32)
+        nnz_pad[:n] = self.theta_nnz
+        self._theta_nnz_pad = jnp.asarray(nnz_pad)
+
+    # ---------- X phase ----------
+    def _x_solve_fn(self, width: int, r: int):
+        """shard_map'd streamed-chunk solve: no device-resident X.
+        (theta, x0, nnz, cols, vals) -> solved rows, all but theta
+        sharded (n_dev, ...)."""
+        key = ("xs", width, r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(theta, x0, nnz, cols, vals):
+            if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
+                theta = theta.astype(jnp.bfloat16)
+            theta_ext = jnp.concatenate(
+                [theta, jnp.zeros((1, theta.shape[1]), theta.dtype)],
+                axis=0)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
+                solved, _se = gather_gram_cg(
+                    theta_ext, cols[0], vals[0], nnz[0], x0[0], cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype)
+            else:
+                from cumf_als_tpu.ops.gram import gram_rhs
+                a, b = gram_rhs(theta_ext, cols[0], vals[0], nnz[0],
+                                cfg.lam, precision=cfg.gram_precision,
+                                factor_dtype=cfg.factor_dtype,
+                                gram_dtype=cfg.gram_dtype)
+                solved = solve(a, b, x0[0], solver=cfg.solver,
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                solved = solved * (nnz[0] > 0)[:, None]
+            return solved[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(1,))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _x_phase(self, x_host: np.ndarray, theta: jnp.ndarray) -> None:
+        """x_host: (n_dev, m_loc, f_pad). Streams chunks; solved rows
+        written back via a 2-deep pipeline (device_put/asarray are
+        async/blocking respectively — the hugewiki per-GPU OpenMP
+        streaming loop, hugewiki.cu:2447-2496)."""
+        pending = []
+        m_loc = self.row_plan.m_loc
+        for ch in self.row_plan.chunks:
+            safe_rows = np.minimum(ch.rows, m_loc - 1)
+            x0 = np.where((ch.rows < m_loc)[..., None],
+                          np.take_along_axis(
+                              x_host, safe_rows[..., None], axis=1),
+                          0.0).astype(np.float32)
+            fn = self._x_solve_fn(ch.width, ch.rows.shape[1])
+            solved = fn(theta,
+                        jax.device_put(x0, self._shard),
+                        jax.device_put(ch.nnz, self._shard),
+                        jax.device_put(ch.cols, self._shard),
+                        jax.device_put(ch.vals, self._shard))
+            pending.append((ch.rows, ch.nnz, solved))
+            if len(pending) >= 2:
+                self._drain_one(x_host, pending)
+        while pending:
+            self._drain_one(x_host, pending)
+
+    @staticmethod
+    def _drain_one(x_host, pending):
+        rows, nnz, solved = pending.pop(0)
+        out = np.asarray(solved)
+        for d in range(rows.shape[0]):
+            valid = nnz[d] > 0
+            x_host[d, rows[d][valid]] = out[d][valid]
+
+    # ---------- theta phase ----------
+    def _accum_fn(self, width: int, r: int):
+        """shard_map'd panel accumulation: partial (A, b) over all theta
+        rows from one device-local chunk; buffers stay sharded
+        per-device (leading axis) and are donated across steps."""
+        key = ("acc", width, r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        prec = _PRECISIONS[cfg.gram_precision]
+
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(a_buf, b_buf, x_panel, rows, cols, vals):
+            xp = x_panel[0]
+            if cfg.factor_dtype == "bf16":
+                xp = xp.astype(jnp.bfloat16)
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((1, xp.shape[1]), xp.dtype)], axis=0)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_out
+                a_part, b_part = gather_gram_out(
+                    xp, cols[0], vals[0],
+                    out_dtype=str(a_buf.dtype))
+            else:
+                g = jnp.take(xp, cols[0], axis=0)
+                a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                                    preferred_element_type=jnp.float32)
+                b_part = jnp.einsum("rp,rpf->rf", vals[0], g,
+                                    precision=prec,
+                                    preferred_element_type=jnp.float32)
+            a = a_buf[0].at[rows[0]].add(a_part.astype(a_buf.dtype),
+                                         mode="drop")
+            b = b_buf[0].at[rows[0]].add(b_part, mode="drop")
+            return a[None], b[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(0, 1))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _reduce_solve_fn(self):
+        """psum the per-device partials over ICI (the reference's
+        anchor-GPU gather+saxpy, hugewiki.cu:2703-2730), then solve all
+        theta rows replicated and return the fused train-RMSE term."""
+        key = ("rsolve",)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        def body(a_buf, b_buf, theta0, nnz_pad):
+            a = jax.lax.psum(a_buf[0].astype(jnp.float32), DATA_AXIS)
+            b = jax.lax.psum(b_buf[0], DATA_AXIS)
+            nnzf = nnz_pad.astype(jnp.float32)
+            diag = nnzf * cfg.lam + (nnzf == 0)
+            f = a.shape[-1]
+            a_reg = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
+            th = solve(a_reg, b, theta0, solver=cfg.solver,
+                       cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+            th = th * (nnzf > 0)[:, None]
+            # train sq-err identity terms (ops/rmse.py): raw A, b
+            cross = jnp.sum(th * b)
+            aq = jnp.einsum("rfg,rg->rf", a, th,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            quad = jnp.sum(th * aq)
+            return th, quad - 2.0 * cross
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(0, 1))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _theta_phase(self, x_host: np.ndarray, theta: jnp.ndarray):
+        cfg = self.cfg
+        f = cfg.f_pad
+        s = self.panel_size
+        m_loc = self.row_plan.m_loc
+        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" \
+            else jnp.float32
+        zeros = jax.jit(lambda: (
+            jnp.zeros((self.n_dev, self.n_pad, f, f), a_dtype),
+            jnp.zeros((self.n_dev, self.n_pad, f), jnp.float32)),
+            out_shardings=(self._shard, self._shard))
+        a_buf, b_buf = zeros()
+
+        def panel_slice(p):
+            lo = p * s
+            sl = x_host[:, lo:min(lo + s, m_loc)]
+            if sl.shape[1] < s:
+                sl = np.pad(sl, ((0, 0), (0, s - sl.shape[1]), (0, 0)))
+            # async device_put, issued a panel ahead: H2D overlaps the
+            # previous panel's accumulation (the reference's OpenMP
+            # streaming, hugewiki.cu:2629-2680)
+            return jax.device_put(np.ascontiguousarray(sl), self._shard)
+
+        panel_ids = sorted({st.panel for st in self.theta_steps})
+        nxt_i = 0
+        nxt = panel_slice(panel_ids[0]) if panel_ids else None
+        cur_panel, xp = -1, None
+        for st in self.theta_steps:
+            if st.panel != cur_panel:
+                xp = nxt
+                nxt_i += 1
+                nxt = panel_slice(panel_ids[nxt_i]) \
+                    if nxt_i < len(panel_ids) else None
+                cur_panel = st.panel
+            fn = self._accum_fn(st.width, st.rows.shape[1])
+            a_buf, b_buf = fn(a_buf, b_buf, xp,
+                              jax.device_put(st.rows, self._shard),
+                              jax.device_put(st.cols, self._shard),
+                              jax.device_put(st.vals, self._shard))
+        n = self.train_csc.num_rows
+        theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
+        th_new, se_term = self._reduce_solve_fn()(
+            a_buf, b_buf, jax.device_put(theta_pad, self._repl),
+            self._theta_nnz_pad)
+        se = float(se_term) + self._sum_r2()
+        return th_new[:n], se
+
+    def _sum_r2(self) -> float:
+        if not hasattr(self, "_r2"):
+            from cumf_als_tpu import native
+            if native.available():
+                self._r2 = native.sum_squares(self.train_csr.data)
+            else:
+                self._r2 = float(
+                    np.sum(self.train_csr.data.astype(np.float64) ** 2))
+        return self._r2
+
+    # ---------- factor layout ----------
+    def shard_x_host(self, x0: np.ndarray) -> np.ndarray:
+        """(m, f) -> host-resident (n_dev, m_loc, f_pad) (the XT_h
+        analog, hugewiki.cu:2300-2302)."""
+        f_pad = self.cfg.f_pad
+        out = np.zeros((self.n_dev, self.row_plan.m_loc, f_pad),
+                       np.float32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            out[d, valid, :x0.shape[1]] = x0[ids[valid]]
+        return out
+
+    def unshard_x_host(self, x_host: np.ndarray) -> np.ndarray:
+        out = np.zeros((self.row_plan.m, self.cfg.f), np.float32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            out[ids[valid]] = x_host[d, valid, :self.cfg.f]
+        return out
+
+    def _test_rmse(self, x_host: np.ndarray, theta: jnp.ndarray) -> float:
+        coo = self.test_coo
+        if coo is None or not coo.nnz:
+            return float("nan")
+        x_full = self.unshard_x_host(x_host)
+        th = np.asarray(theta)[:, :self.cfg.f]
+        pred = np.einsum("ij,ij->i", x_full[coo.row], th[coo.col])
+        e = coo.data - pred
+        return float(np.sqrt(np.mean(e * e)))
+
+    # ---------- training loop ----------
+    def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
+        cfg = self.cfg
+        theta0 = theta0 * (self.theta_nnz > 0).astype(np.float32)[:, None]
+        x0 = x0 * (np.diff(self.train_csr.indptr) > 0
+                   ).astype(np.float32)[:, None]
+        x_host = self.shard_x_host(x0)
+        th = np.zeros((self.train_csc.num_rows, cfg.f_pad), np.float32)
+        th[:, :cfg.f] = theta0
+        theta = jax.device_put(jnp.asarray(th), self._repl)
+        history: List[IterationMetrics] = []
+        if cfg.verbose:
+            print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
+                  f"f: {cfg.f}, nnz: {self.train_csr.nnz} ")
+            print(f"*******mesh: {self.n_dev} devices; X host-resident "
+                  f"({self.row_plan.m_loc} rows/device), "
+                  f"{self.n_panels} local X panels streamed per theta "
+                  f"update.")
+            print("*******start iterations...")
+        for it in range(cfg.iters):
+            t0 = seconds()
+            self._x_phase(x_host, theta)
+            tx = seconds() - t0
+            if cfg.debug_timing:
+                print(f"update X run {tx:f} seconds, gridSize: {cfg.m}, "
+                      f"blockSize {cfg.f}.")
+            t0 = seconds()
+            theta, se = self._theta_phase(x_host, theta)
+            theta.block_until_ready()
+            tth = seconds() - t0
+            if cfg.debug_timing:
+                print(f"update theta run {tth:f} seconds, gridSize: "
+                      f"{cfg.n}, blockSize {cfg.f}.")
+            train_rmse = float(np.sqrt(max(se, 0.0) /
+                                       self.train_csr.nnz))
+            test_rmse = self._test_rmse(x_host, theta)
+            if cfg.verbose:
+                print(f"--------- Train RMSE in iter {it}: {train_rmse:f}")
+                if np.isfinite(test_rmse):
+                    print(f"--------- Test RMSE in iter {it}: "
+                          f"{test_rmse:f}")
+            history.append(IterationMetrics(it, train_rmse, test_rmse,
+                                            tx, tth, 0.0))
+            if not np.isfinite(train_rmse):
+                raise FloatingPointError(
+                    f"non-finite train RMSE at iteration {it}")
+            if cfg.checkpoint_every and cfg.checkpoint_dir and \
+                    (it + 1) % cfg.checkpoint_every == 0:
+                from cumf_als_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(cfg.checkpoint_dir, it,
+                                self.unshard_x_host(x_host),
+                                np.asarray(theta)[:, :cfg.f], cfg)
+        return ALSResult(x=self.unshard_x_host(x_host),
+                         theta=np.asarray(theta)[:, :cfg.f],
+                         history=history)

@@ -95,3 +95,35 @@ class TestShardedEqualsSingle:
                              block_rows=16)
         res = sharded.run(x0, th0)
         assert np.isfinite(res.history[-1].train_rmse)
+
+
+class TestShardedOutOfCore:
+    """The combined hugewiki path: sharded ratings + host-resident X
+    shards + streamed panels + psum'd theta partials (reference
+    hugewiki.cu:2300-2302, 2560-2572, 2703-2730 as one program)."""
+
+    def test_trajectory_matches_single_device(self, medium_problem):
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = medium_problem
+        # tiny panels force several streamed panels per device
+        cfg = _cfg(train, solver="cg", panel_size=32, chunk_rows=64)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        single = do_als(train, None, test, th0, x0,
+                        cfg.replace(train_rmse_method="direct"))
+        model = ShardedOutOfCoreALS(cfg, train, None, test)
+        assert model.n_panels > 1  # panels actually stream
+        multi = model.run(x0, th0)
+        for a, b in zip(single.history, multi.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=2e-3)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
+        np.testing.assert_allclose(multi.x, single.x, rtol=2e-2, atol=2e-2)
+
+    def test_bf16_gram_accumulators(self, small_problem):
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = small_problem
+        cfg = _cfg(train, iters=2, gram_dtype="bf16", panel_size=16)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=0)
+        model = ShardedOutOfCoreALS(cfg, train, None, test, n_devices=4)
+        res = model.run(x0, th0)
+        assert np.isfinite(res.history[-1].train_rmse)
+        assert res.history[-1].train_rmse < res.history[0].train_rmse
