@@ -269,12 +269,17 @@ class ALS:
                 for b in plan.batches]
             return plan, [], aux
         if isinstance(plan, PanelPlan):
-            batch = self.cfg.chunk_rows
+            # solve batch hugs the row count (multiple of 8) instead of
+            # rounding m_pad to a full chunk_rows multiple — next-pow2
+            # rounding made Netflix's X-phase solve nearly half dummies
+            batch = min(self.cfg.chunk_rows,
+                        -(-(plan.num_rows + 1) // 8) * 8)
             m_pad = -(-(plan.num_rows + 1) // batch) * batch
             nnz_pad = np.zeros(m_pad, np.int32)
             nnz_pad[:plan.num_rows] = plan.row_nnz
             aux["row_nnz_pad"] = jnp.asarray(nnz_pad)
             aux["m_pad"] = m_pad
+            aux["solve_batch"] = batch
         return plan, [DeviceChunk(c) for c in plan.chunks], aux
 
     # ----- factor padding helpers -----
@@ -388,7 +393,9 @@ class ALS:
             current = current.at[gids].set(solved, mode="drop")
         se = 0.0
         if collect_rmse_terms:
-            se = float(jnp.sum(jnp.stack(se_parts))) + self._sum_r2() \
+            # stays a device scalar: float() here would block inside the
+            # timed phase (one extra host roundtrip per iteration)
+            se = jnp.sum(jnp.stack(se_parts)) + self._sum_r2() \
                 if se_parts else self._sum_r2()
         return current, se
 
@@ -439,7 +446,7 @@ class ALS:
         if cfg.save_model and getattr(self, "_save_tag", None):
             self._dump_gram(a_buf, b_buf, self._save_tag)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
-        batch = cfg.chunk_rows
+        batch = aux.get("solve_batch", cfg.chunk_rows)
         outs = []
         for lo in range(0, m_pad, batch):
             outs.append(_solve_slice(
@@ -450,7 +457,7 @@ class ALS:
             else outs[0]
         se = 0.0
         if collect_rmse_terms:
-            se = float(_se_terms(a_buf, b_buf, new_pad)) + self._sum_r2()
+            se = _se_terms(a_buf, b_buf, new_pad) + self._sum_r2()
         return new_pad[:m], se
 
     def _update_phase_direct(self, table: jnp.ndarray,
@@ -533,8 +540,7 @@ class ALS:
             chunk_arrays = tuple((c.rows, c.nnz, c.cols, c.vals)
                                  for c in chunks)
             current, se_total = fn(table, current, chunk_arrays)
-            return current, (float(se_total) if collect_rmse_terms
-                             else 0.0)
+            return current, (se_total if collect_rmse_terms else 0.0)
 
         if cfg.factor_dtype == "bf16":
             table = table.astype(jnp.bfloat16)
@@ -548,7 +554,7 @@ class ALS:
             if collect_rmse_terms:
                 se_parts.append(se)
             current = current.at[ch.rows].set(solved, mode="drop")
-        se_acc = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
+        se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
         return current, se_acc
 
     # ----- the training loop -----
@@ -580,7 +586,12 @@ class ALS:
             # als.cu:800-807); dumped when save_model is on.
             self._save_tag = f"tt_iter{it:03d}" if cfg.save_model else None
             x, _ = self._update_phase(theta, x, self.plan_x, False)
-            x.block_until_ready()
+            if cfg.debug_timing:
+                # exact per-phase split costs a device sync at the phase
+                # boundary; without it the theta phase's head can queue
+                # behind the X tail (and the combined time below is the
+                # honest per-iteration figure)
+                x.block_until_ready()
             tx = seconds() - t0
             if cfg.debug_timing:
                 print(f"update X run {tx:f} seconds, gridSize: {cfg.m}, "
@@ -612,7 +623,7 @@ class ALS:
                                  self._unpad_f(theta))
             t0 = seconds()
             if want_fused:
-                train_rmse = float(np.sqrt(max(se_acc, 0.0) /
+                train_rmse = float(np.sqrt(max(float(se_acc), 0.0) /
                                            self.train_csr.nnz))
             else:
                 train_rmse = rmse_direct(

@@ -200,8 +200,9 @@ class OutOfCoreALS:
             outs.append(part)
         new = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         # free train RMSE from the accumulators (ops/rmse.py identity);
-        # the r^2 term is accumulated host-side once per dataset
-        se = float(_ooc_se_terms(a_buf, b_buf, new)) + self._sum_r2()
+        # the r^2 term is accumulated host-side once per dataset.
+        # Kept as a device scalar: float() would block inside the phase.
+        se = _ooc_se_terms(a_buf, b_buf, new) + self._sum_r2()
         return new[:n], se
 
     def _sum_r2(self) -> float:
@@ -262,7 +263,7 @@ class OutOfCoreALS:
                 print(f"update theta run {tth:f} seconds, gridSize: {n}, "
                       f"blockSize {cfg.f}.")
             train_rmse = float(
-                np.sqrt(max(se_plus_r2, 0.0) / self.train_csr.nnz))
+                np.sqrt(max(float(se_plus_r2), 0.0) / self.train_csr.nnz))
             test_rmse = self._test_rmse(x_host, theta)
             if cfg.verbose:
                 print(f"--------- Train RMSE in iter {it}: {train_rmse:f}")

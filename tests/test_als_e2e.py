@@ -126,3 +126,51 @@ class TestCheckpoint:
         np.testing.assert_allclose(rest.x, full.x, rtol=1e-5, atol=1e-6)
         assert rest.history[-1].test_rmse == pytest.approx(
             full.history[-1].test_rmse, abs=1e-6)
+
+
+class TestShippedConfiguration:
+    """Oracle parity at the configuration the benchmarks actually ship:
+    f=100 (padded to 128 lanes), bf16 factors, panel-path gathers,
+    fused phases (backend='pallas' falls back to XLA per-op where
+    Mosaic is unavailable — on CPU this exercises the identical panel
+    orchestration)."""
+
+    def test_f100_bf16_panel_fused_matches_oracle(self, medium_problem):
+        train, test = medium_problem
+        cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=100,
+                        lam=0.05, iters=3, verbose=False,
+                        debug_timing=False, chunk_nnz=1 << 12,
+                        factor_dtype="bf16", backend="pallas",
+                        use_panels="auto", panel_size=64,
+                        fuse_phase=True, train_rmse_method="fused",
+                        solver="cg")
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        model = ALS(cfg, train, None, test)
+        # the X phase must actually take the panel path (n=220 > 64+8)
+        from cumf_als_tpu.ops.tiling import PanelPlan
+        assert isinstance(model.plan_x[0], PanelPlan)
+        res = model.run(x0, th0)
+        _, _, ref_hist = numpy_als(train, test, x0, th0, cfg.lam,
+                                   cfg.iters)
+        # bf16 factors move the trajectory by O(1e-3) (the
+        # CUMF_USE_HALF ablation, docs/PERFORMANCE.md)
+        assert res.history[-1].train_rmse == pytest.approx(
+            ref_hist[-1][0], abs=5e-3)
+        assert res.history[-1].test_rmse == pytest.approx(
+            ref_hist[-1][1], abs=1e-2)
+
+    def test_f100_gram_bf16_close_to_f32(self, medium_problem):
+        train, test = medium_problem
+        base = dict(m=train.num_rows, n=train.num_cols, f=100, lam=0.05,
+                    iters=3, verbose=False, debug_timing=False,
+                    chunk_nnz=1 << 12, use_panels="auto", panel_size=64,
+                    train_rmse_method="fused", solver="cg")
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 100,
+                               seed=1)
+        r32 = ALS(ALSConfig(**base), train, None, test).run(x0, th0)
+        rbf = ALS(ALSConfig(gram_dtype="bf16", **base), train, None,
+                  test).run(x0, th0)
+        # CUMF_TT_FP16 analog: bf16 Gram accumulators stay within the
+        # reference's half-precision accuracy envelope
+        assert rbf.history[-1].test_rmse == pytest.approx(
+            r32.history[-1].test_rmse, abs=2e-2)
