@@ -206,8 +206,10 @@ class ALS:
             cfg.plan_cache_dir, train_csr)
         self.test_coo = test_coo
         t0 = seconds()
-        self.plan_x = self._build_phase_plan(self.train_csr)
-        self.plan_theta = self._build_phase_plan(self.train_csc)
+        self.plan_x = self._build_phase_plan(self.train_csr,
+                                             cfg.x_batch)
+        self.plan_theta = self._build_phase_plan(self.train_csc,
+                                                 cfg.theta_batch)
         self.plan_seconds = seconds() - t0
 
     def _phase_strategy(self, csr: CSRMatrix) -> str:
@@ -224,14 +226,27 @@ class ALS:
             return "batched_panel"  # both sides big (Yahoo-class)
         return "direct"
 
-    def _build_phase_plan(self, csr: CSRMatrix):
+    def _chunk_nnz(self, csr: CSRMatrix, batch: int) -> int:
+        """Per-phase chunk budget. The reference's X_BATCH/THETA_BATCH
+        (als.cu:768, 881) split a phase into `batch` memory batches; our
+        automatic chunking is usually finer already, so the knobs act as
+        a guaranteed MINIMUM batch count: requesting more batches caps
+        the per-chunk padded-nnz budget (and with it the transient
+        gather buffer) at phase_nnz/batch."""
+        budget = self.cfg.chunk_nnz
+        if batch and batch > 1:
+            budget = min(budget, max(1 << 14, -(-csr.nnz // batch)))
+        return budget
+
+    def _build_phase_plan(self, csr: CSRMatrix, batch: int = 1):
         from cumf_als_tpu.utils.plan_cache import cached_build
         cfg = self.cfg
         strategy = self._phase_strategy(csr)
+        chunk_nnz = self._chunk_nnz(csr, batch)
         if strategy == "panel":
             params = dict(panel_size=cfg.panel_size,
                           min_width=cfg.min_bucket_width,
-                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_nnz=chunk_nnz,
                           chunk_rows=cfg.chunk_rows,
                           split_width=cfg.split_width,
                           octave_points=cfg.octave_points)
@@ -242,7 +257,7 @@ class ALS:
             params = dict(panel_size=cfg.panel_size,
                           batch_rows=cfg.chunk_rows,
                           min_width=cfg.min_bucket_width,
-                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_nnz=chunk_nnz,
                           chunk_rows=cfg.chunk_rows,
                           split_width=cfg.split_width,
                           octave_points=cfg.octave_points)
@@ -252,7 +267,7 @@ class ALS:
         else:
             params = dict(min_width=cfg.min_bucket_width,
                           max_width=cfg.max_bucket_width,
-                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_nnz=chunk_nnz,
                           chunk_rows=cfg.chunk_rows,
                           octave_points=cfg.octave_points)
             plan = cached_build(

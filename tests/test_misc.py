@@ -67,3 +67,16 @@ def test_save_model_artifacts(tmp_path, small_problem):
         assert xt.exists()
         arr = np.fromfile(xt, np.float32)
         assert arr.size == cfg.m * cfg.f
+    # Gram-level dumps (reference als.cu:800-807 tt/xx granularity):
+    # tt = theta Gram feeding the X update, xx = X Gram feeding theta,
+    # plus the matching RHS slices; all at the padded feature width
+    f_pad = cfg.f_pad
+    for it in range(2):
+        for tag, rhs in (("tt", "ytheta"), ("xx", "yTX")):
+            a = np.fromfile(tmp_path / f"{tag}_iter{it:03d}.bin",
+                            np.float32)
+            assert a.size > 0 and a.size % (f_pad * f_pad) == 0
+            b = np.fromfile(tmp_path / f"{rhs}_iter{it:03d}.bin",
+                            np.float32)
+            assert b.size == (a.size // f_pad)
+            assert np.isfinite(a).all() and np.isfinite(b).all()
