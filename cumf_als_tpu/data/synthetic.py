@@ -52,6 +52,17 @@ def synthetic_ratings(
 
     lo, hi = rating_range
     total = nnz + nnz_test
+
+    # Above ~1e8 nonzeros the numpy path (searchsorted sampling +
+    # np.unique over int64 keys) dominates wall-clock on a single-core
+    # host; the native generator (alias sampling + radix sort + fused
+    # emit, native/dataplane.cpp) makes hugewiki-scale (3.1e9 nnz,
+    # reference hugewiki.cu:33-36) generation practical. Same planted
+    # model and skew family, different RNG stream.
+    from cumf_als_tpu import native
+    if total >= (1 << 27) and native.available():
+        return _native_synthetic(m, n, nnz, nnz_test, u, v, noise,
+                                 row_skew, col_skew, lo, hi, seed, rng)
     cdf_row = _zipf_cdf(m, row_skew, rng)
     cdf_col = _zipf_cdf(n, col_skew, rng)
 
@@ -88,6 +99,32 @@ def synthetic_ratings(
                                  num_rows=m, num_cols=n))
     te = ~tr
     test = COOMatrix(row=rows[te], col=cols[te], data=vals[te],
+                     num_rows=m, num_cols=n)
+    return train, test
+
+
+def _native_synthetic(m, n, nnz, nnz_test, u, v, noise, row_skew,
+                      col_skew, lo, hi, seed, rng
+                      ) -> Tuple[CSRMatrix, COOMatrix]:
+    """Native-path twin of synthetic_ratings' sampling/emit stages (see
+    native/dataplane.cpp synth_* for the mechanics). Train CSR comes
+    out directly sorted; test split is exact-in-expectation (hash
+    threshold), so achieved counts are read off the outputs as the
+    docstring warrants."""
+    from cumf_als_tpu import native
+    total = nnz + nnz_test
+    row_w = np.arange(1, m + 1, dtype=np.float64) ** (-row_skew)
+    col_w = np.arange(1, n + 1, dtype=np.float64) ** (-col_skew)
+    rng.shuffle(row_w)
+    rng.shuffle(col_w)
+    keys = native.synth_sample_keys(m, n, total, row_w, col_w, seed)
+    achieved = min(keys.shape[0], total)
+    test_frac = nnz_test / max(1, total)
+    indptr, cols, vals, trow, tcol, tvals = native.synth_split_emit(
+        keys, m, n, u, v, noise, lo, hi, seed, achieved, test_frac)
+    train = CSRMatrix(indptr=indptr, indices=cols, data=vals,
+                      num_rows=m, num_cols=n)
+    test = COOMatrix(row=trow, col=tcol, data=tvals,
                      num_rows=m, num_cols=n)
     return train, test
 

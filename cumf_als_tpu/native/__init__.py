@@ -70,6 +70,21 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.expand_indptr.argtypes = [ctypes.c_int64, i64p, i32p]
     lib.sum_squares.restype = ctypes.c_double
     lib.sum_squares.argtypes = [f32p, ctypes.c_int64]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.synth_sample_keys.restype = ctypes.c_int64
+    lib.synth_sample_keys.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f64p, f64p,
+        ctypes.c_uint64, ctypes.c_int64, i64p]
+    lib.synth_counts.restype = ctypes.c_int
+    lib.synth_counts.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, i64p]
+    lib.synth_emit.restype = ctypes.c_int
+    lib.synth_emit.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p, f32p,
+        ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, i64p, i32p,
+        f32p, i32p, i32p, f32p]
     _lib = lib
     return lib
 
@@ -210,3 +225,60 @@ def sum_squares(x: np.ndarray) -> float:
     assert lib is not None
     x = np.ascontiguousarray(x, np.float32)
     return float(lib.sum_squares(_p(x, ctypes.c_float), x.shape[0]))
+
+
+def synth_sample_keys(m: int, n: int, total: int, row_w: np.ndarray,
+                      col_w: np.ndarray, seed: int) -> np.ndarray:
+    """Sample unique sorted flat keys r*n+c via native alias sampling.
+    Returns the achieved unique keys (possibly more than `total`; thin
+    with the keep-hash threshold in synth_emit)."""
+    lib = _load()
+    assert lib is not None
+    row_w = np.ascontiguousarray(row_w, np.float64)
+    col_w = np.ascontiguousarray(col_w, np.float64)
+    cap = total + total // 8 + 64
+    keys = np.empty(cap, np.int64)
+    k = lib.synth_sample_keys(m, n, total, _p(row_w, ctypes.c_double),
+                              _p(col_w, ctypes.c_double),
+                              ctypes.c_uint64(seed & (2**64 - 1)), cap,
+                              _p(keys, ctypes.c_int64))
+    if k < 0:
+        raise ValueError("synth_sample_keys: capacity too small")
+    return keys[:k]
+
+
+def synth_split_emit(keys: np.ndarray, m: int, n: int, u: np.ndarray,
+                     v: np.ndarray, noise: float, lo: float, hi: float,
+                     seed: int, total: int, test_frac: float):
+    """Planted-model ratings + hash train/test split + CSR/COO emit in
+    one native pass. Returns (indptr, cols, vals, trow, tcol, tvals)."""
+    lib = _load()
+    assert lib is not None
+    k = keys.shape[0]
+    keep_t = min(1.0, total / max(1, k))
+    test_t = min(1.0, test_frac)
+    keep_u = ctypes.c_uint64(min(int(keep_t * 2.0**64), 2**64 - 1))
+    test_u = ctypes.c_uint64(min(int(test_t * 2.0**64), 2**64 - 1))
+    seed_u = ctypes.c_uint64(seed & (2**64 - 1))
+    counts = np.zeros(2, np.int64)
+    lib.synth_counts(_p(keys, ctypes.c_int64), k, seed_u, keep_u, test_u,
+                     _p(counts, ctypes.c_int64))
+    n_train, n_test = int(counts[0]), int(counts[1])
+    u = np.ascontiguousarray(u, np.float32)
+    v = np.ascontiguousarray(v, np.float32)
+    indptr = np.zeros(m + 1, np.int64)
+    cols = np.empty(n_train, np.int32)
+    vals = np.empty(n_train, np.float32)
+    trow = np.empty(n_test, np.int32)
+    tcol = np.empty(n_test, np.int32)
+    tvals = np.empty(n_test, np.float32)
+    rc = lib.synth_emit(
+        _p(keys, ctypes.c_int64), k, m, n, _p(u, ctypes.c_float),
+        _p(v, ctypes.c_float), u.shape[1], ctypes.c_float(noise),
+        ctypes.c_float(lo), ctypes.c_float(hi), seed_u, keep_u, test_u,
+        _p(indptr, ctypes.c_int64), _p(cols, ctypes.c_int32),
+        _p(vals, ctypes.c_float), _p(trow, ctypes.c_int32),
+        _p(tcol, ctypes.c_int32), _p(tvals, ctypes.c_float))
+    if rc != 0:
+        raise ValueError("synth_emit failed")
+    return indptr, cols, vals, trow, tcol, tvals

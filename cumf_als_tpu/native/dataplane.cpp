@@ -11,6 +11,8 @@
 //
 // Build: make -C cumf_als_tpu/native   (produces libdataplane.so)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -169,6 +171,213 @@ double sum_squares(const float* x, int64_t n) {
   double acc = 0.0;
   for (int64_t k = 0; k < n; ++k) acc += static_cast<double>(x[k]) * x[k];
   return acc;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Synthetic workload generator (hugewiki scale).
+//
+// The Python generator (data/synthetic.py) tops out around 1e8 nonzeros
+// on this single-core host (searchsorted sampling + np.unique sorts of
+// int64 key arrays); the full hugewiki workload is 3.1e9 nonzeros
+// (reference hugewiki/hugewiki.cu:33-36). This native path makes that
+// size practical: Walker alias sampling (O(1)/draw), LSD radix sort on
+// the flat keys, in-place dedup, and a single fused pass that computes
+// planted-model ratings, splits train/test by key hash, and emits the
+// train CSR + test COO directly (keys are sorted, so the CSR needs no
+// extra sort and the u-factor reads are sequential).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+namespace {
+
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next() { return s = splitmix64(s); }
+  double uniform() { return (next() >> 11) * 0x1.0p-53; }
+};
+
+// Walker alias table over arbitrary positive weights.
+struct Alias {
+  std::vector<double> prob;
+  std::vector<int64_t> alias;
+  void build(const double* w, int64_t n) {
+    prob.resize(n);
+    alias.resize(n);
+    double total = 0.0;
+    for (int64_t i = 0; i < n; ++i) total += w[i];
+    std::vector<double> p(n);
+    std::vector<int64_t> small, large;
+    small.reserve(n);
+    large.reserve(n);
+    for (int64_t i = 0; i < n; ++i) {
+      p[i] = w[i] * n / total;
+      (p[i] < 1.0 ? small : large).push_back(i);
+    }
+    while (!small.empty() && !large.empty()) {
+      int64_t s = small.back(); small.pop_back();
+      int64_t l = large.back(); large.pop_back();
+      prob[s] = p[s];
+      alias[s] = l;
+      p[l] = (p[l] + p[s]) - 1.0;
+      (p[l] < 1.0 ? small : large).push_back(l);
+    }
+    for (int64_t i : small) { prob[i] = 1.0; alias[i] = i; }
+    for (int64_t i : large) { prob[i] = 1.0; alias[i] = i; }
+  }
+  int64_t draw(Rng& rng) const {
+    int64_t n = static_cast<int64_t>(prob.size());
+    // rejection-free: uniform slot + biased coin
+    int64_t i = static_cast<int64_t>(rng.next() % static_cast<uint64_t>(n));
+    return rng.uniform() < prob[i] ? i : alias[i];
+  }
+};
+
+// LSD radix sort of int64 keys (all non-negative), using only as many
+// byte passes as the maximum key needs. buf is caller scratch (size n).
+void radix_sort_keys(int64_t* keys, int64_t* buf, int64_t n,
+                     int64_t max_key) {
+  int passes = 0;
+  uint64_t mk = static_cast<uint64_t>(max_key);
+  while (mk) { ++passes; mk >>= 8; }
+  if (passes == 0) return;
+  int64_t* src = keys;
+  int64_t* dst = buf;
+  for (int p = 0; p < passes; ++p) {
+    int64_t count[257] = {0};
+    int shift = 8 * p;
+    for (int64_t i = 0; i < n; ++i)
+      ++count[((static_cast<uint64_t>(src[i]) >> shift) & 0xff) + 1];
+    for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+    for (int64_t i = 0; i < n; ++i)
+      dst[count[(static_cast<uint64_t>(src[i]) >> shift) & 0xff]++] = src[i];
+    std::swap(src, dst);
+  }
+  if (src != keys) std::memcpy(keys, src, n * sizeof(int64_t));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sample up to `total` UNIQUE flat keys r*n+c (row ~ alias(row_w),
+// col ~ alias(col_w)) into keys_out (capacity cap >= total), sorted
+// ascending. Retries a few oversampling rounds for heavy-duplication
+// regimes. Returns the achieved unique count.
+int64_t synth_sample_keys(int64_t m, int64_t n, int64_t total,
+                          const double* row_w, const double* col_w,
+                          uint64_t seed, int64_t cap, int64_t* keys_out) {
+  if (total > cap) return -1;
+  Alias rows, cols;
+  rows.build(row_w, m);
+  cols.build(col_w, n);
+  Rng rng(seed * 2654435761ull + 1);
+  std::vector<int64_t> scratch(static_cast<size_t>(cap));
+  int64_t k = 0;  // current unique prefix (sorted)
+  for (int round = 0; round < 8 && k < total; ++round) {
+    int64_t want = (round == 0) ? (total + total / 8 + 16)
+                                : (total - k) * 2 + 16;
+    if (want > cap - k) want = cap - k;
+    if (want <= 0) break;
+    for (int64_t i = 0; i < want; ++i) {
+      int64_t r = rows.draw(rng);
+      int64_t c = cols.draw(rng);
+      keys_out[k + i] = r * n + c;
+    }
+    radix_sort_keys(keys_out, scratch.data(), k + want, m * n - 1);
+    // in-place unique over the sorted whole
+    int64_t w = 0;
+    for (int64_t i = 0; i < k + want; ++i)
+      if (w == 0 || keys_out[i] != keys_out[w - 1]) keys_out[w++] = keys_out[i];
+    k = w;
+  }
+  // Return the full unique count (may exceed `total` after the
+  // oversampling round); the caller thins to the target with the
+  // keep-hash threshold — truncating the sorted array would bias
+  // toward low keys.
+  return k;
+}
+
+// Count the train/test split of `keys` under hash thinning: a key is
+// kept when h1 < keep_t, and a kept key is a TEST entry when
+// h2 < test_t. Writes [n_train, n_test] to out_counts.
+int synth_counts(const int64_t* keys, int64_t k, uint64_t seed,
+                 uint64_t keep_t, uint64_t test_t, int64_t* out_counts) {
+  int64_t tr = 0, te = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    uint64_t key = static_cast<uint64_t>(keys[i]);
+    if (splitmix64(key ^ seed) >= keep_t) continue;
+    if (splitmix64(key ^ (seed + 0x5851f42d4c957f2dull)) < test_t) ++te;
+    else ++tr;
+  }
+  out_counts[0] = tr;
+  out_counts[1] = te;
+  return 0;
+}
+
+// One fused pass over the sorted keys: planted-model rating
+// val = round2(clip(mid + half*(u_row . v_col + noise*gauss)/2, lo, hi)),
+// split by the same hashes as synth_counts, emit train CSR (indptr,
+// cols, vals — keys sorted => rows ascending, cols sorted within rows,
+// u reads sequential) and test COO. Arrays sized per synth_counts.
+int synth_emit(const int64_t* keys, int64_t k, int64_t m, int64_t n,
+               const float* u, const float* v, int64_t rank, float noise,
+               float lo, float hi, uint64_t seed, uint64_t keep_t,
+               uint64_t test_t, int64_t* train_indptr, int32_t* train_cols,
+               float* train_vals, int32_t* test_row, int32_t* test_col,
+               float* test_vals) {
+  Rng rng(seed ^ 0xa0761d6478bd642full);
+  const float mid = (hi + lo) * 0.5f, half = (hi - lo) * 0.5f;
+  int64_t tr = 0, te = 0;
+  for (int64_t r = 0; r <= m; ++r) train_indptr[r] = 0;
+  double spare = 0.0;
+  bool has_spare = false;
+  for (int64_t i = 0; i < k; ++i) {
+    uint64_t key = static_cast<uint64_t>(keys[i]);
+    if (splitmix64(key ^ seed) >= keep_t) continue;
+    int64_t row = keys[i] / n, col = keys[i] - row * n;
+    const float* ur = u + row * rank;
+    const float* vc = v + col * rank;
+    float dot = 0.f;
+    for (int64_t j = 0; j < rank; ++j) dot += ur[j] * vc[j];
+    // Box-Muller gaussian noise
+    double g;
+    if (has_spare) { g = spare; has_spare = false; }
+    else {
+      double u1 = rng.uniform(), u2 = rng.uniform();
+      if (u1 < 1e-300) u1 = 1e-300;
+      double rr = std::sqrt(-2.0 * std::log(u1));
+      g = rr * std::cos(6.283185307179586 * u2);
+      spare = rr * std::sin(6.283185307179586 * u2);
+      has_spare = true;
+    }
+    float raw = dot + noise * static_cast<float>(g);
+    float val = mid + half * raw * 0.5f;
+    if (val < lo) val = lo;
+    if (val > hi) val = hi;
+    val = std::round(val * 2.0f) * 0.5f;
+    if (splitmix64(key ^ (seed + 0x5851f42d4c957f2dull)) < test_t) {
+      test_row[te] = static_cast<int32_t>(row);
+      test_col[te] = static_cast<int32_t>(col);
+      test_vals[te] = val;
+      ++te;
+    } else {
+      train_cols[tr] = static_cast<int32_t>(col);
+      train_vals[tr] = val;
+      ++train_indptr[row + 1];
+      ++tr;
+    }
+  }
+  for (int64_t r = 0; r < m; ++r) train_indptr[r + 1] += train_indptr[r];
+  return 0;
 }
 
 }  // extern "C"

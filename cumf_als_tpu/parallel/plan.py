@@ -24,7 +24,7 @@ from typing import List
 
 import numpy as np
 
-from cumf_als_tpu.ops.tiling import _rows_per_chunk
+from cumf_als_tpu.ops.tiling import _rows_per_chunk, build_panel_plan
 from cumf_als_tpu.utils.io import CSRMatrix
 
 
@@ -229,3 +229,100 @@ def build_reduce_plan(csc: CSRMatrix, row_plan: ShardedRowPlan,
             vals=vals.reshape(n_dev, c_pad, width)))
     return ReducePlan(n_dev=n_dev, n=n, m_loc=row_plan.m_loc,
                       blocks=blocks)
+
+
+class AlignedPanelChunk:
+    """One lockstep SPMD panel step: every device's subrow chunk for the
+    same (panel index, shape). Arrays carry a leading device axis;
+    devices with fewer chunks in this (panel, width) group get dummy
+    rows (nnz 0, sentinel cols) that contribute zero partials."""
+
+    __slots__ = ("panel", "width", "rows", "nnz", "cols", "vals")
+
+    def __init__(self, panel, width, rows, nnz, cols, vals):
+        self.panel = panel
+        self.width = width
+        self.rows = rows      # (n_dev, R) local row ids, sentinel dummies
+        self.nnz = nnz        # (n_dev, R) subrow lengths
+        self.cols = cols      # (n_dev, R, P) panel-LOCAL gather ids
+        self.vals = vals      # (n_dev, R, P)
+
+
+def align_panel_plans(plans, sentinel_row: int, panel_size: int):
+    """Merge per-device PanelPlans into a lockstep schedule: for each
+    panel index, chunks grouped by shape and padded with dummy chunks so
+    all devices run the same shard_map program. `sentinel_row` is the
+    dummy-row scatter id (one past the valid accumulator rows)."""
+    n_dev = len(plans)
+    n_panels = max(p.n_panels for p in plans)
+    steps: List[AlignedPanelChunk] = []
+    for pi in range(n_panels):
+        # shape -> list of per-device chunk lists
+        by_shape = {}
+        for d, plan in enumerate(plans):
+            for ch in plan.chunks:
+                if ch.panel != pi:
+                    continue
+                key = (ch.rows.shape[0], ch.width)
+                by_shape.setdefault(key, [[] for _ in range(n_dev)])
+                by_shape[key][d].append(ch)
+        for (r, width), per_dev in sorted(by_shape.items()):
+            count = max(len(c) for c in per_dev)
+            for k in range(count):
+                rows = np.full((n_dev, r), sentinel_row, np.int32)
+                nnz = np.zeros((n_dev, r), np.int32)
+                cols = np.full((n_dev, r, width), panel_size, np.int32)
+                vals = np.zeros((n_dev, r, width), np.float32)
+                for d in range(n_dev):
+                    if k < len(per_dev[d]):
+                        ch = per_dev[d][k]
+                        rows[d] = ch.rows
+                        nnz[d] = ch.nnz
+                        cols[d] = ch.cols
+                        vals[d] = ch.vals
+                steps.append(AlignedPanelChunk(pi, width, rows, nnz,
+                                               cols, vals))
+    return steps, n_panels
+
+
+def build_sharded_x_panel_steps(csr: CSRMatrix, row_plan: ShardedRowPlan,
+                                panel_size: int, min_width: int = 8,
+                                chunk_nnz: int = 1 << 22,
+                                chunk_rows: int = 1 << 14,
+                                split_width: int = 4096,
+                                octave_points: int = 8):
+    """Panelized layout for the sharded LARGE-factor phase: per-device
+    panel plans over each device's local row shard (cols = panel-local
+    ids into the replicated small factor), aligned into lockstep steps.
+
+    This brings the single-device PanelPlan optimization (gather tables
+    <= panel_size rows stay at on-chip gather rate) to the SPMD X-phase,
+    which otherwise gathers from the full replicated table at HBM rate.
+    Returns (steps, n_panels)."""
+    n_dev = row_plan.n_dev
+    m = row_plan.m
+    m_loc = row_plan.m_loc
+    indptr = np.asarray(csr.indptr, np.int64)
+    row_nnz = np.diff(indptr)
+    plans = []
+    for d in range(n_dev):
+        ids = row_plan.global_ids[d]
+        valid = ids < m
+        lens = np.zeros(m_loc, np.int64)
+        lens[valid] = row_nnz[ids[valid]]
+        sub_indptr = np.zeros(m_loc + 1, np.int64)
+        np.cumsum(lens, out=sub_indptr[1:])
+        total = int(sub_indptr[-1])
+        starts = np.zeros(m_loc, np.int64)
+        starts[valid] = indptr[ids[valid]]
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(sub_indptr[:-1], lens)
+               + np.repeat(starts, lens))
+        sub = CSRMatrix(indptr=sub_indptr, indices=csr.indices[pos],
+                        data=csr.data[pos], num_rows=m_loc,
+                        num_cols=csr.num_cols)
+        plans.append(build_panel_plan(
+            sub, panel_size=panel_size, min_width=min_width,
+            chunk_nnz=chunk_nnz, chunk_rows=chunk_rows,
+            split_width=split_width, octave_points=octave_points))
+    return align_panel_plans(plans, m_loc, panel_size)

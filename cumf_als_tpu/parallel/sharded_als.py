@@ -32,7 +32,8 @@ from cumf_als_tpu.ops.gram import _PRECISIONS
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cumf_als_tpu.parallel.plan import (build_reduce_plan,
-                                        build_sharded_row_plan)
+                                        build_sharded_row_plan,
+                                        build_sharded_x_panel_steps)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
 from cumf_als_tpu.utils.timing import seconds
 
@@ -72,6 +73,37 @@ class ShardedALS:
             self.train_csc, self.row_plan, block_rows=block_rows)
         self._shard = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl = NamedSharding(self.mesh, P())
+        # Panelized X phase (the single-device PanelPlan optimization
+        # brought to SPMD): when the replicated gather table exceeds
+        # panel_size rows, gathers drop to HBM rate; if per-device full
+        # (A, b) accumulators fit, restructure the phase as per-panel
+        # partial Grams (cols panel-local) scatter-added per device.
+        self.x_steps = None
+        f = cfg.f_pad
+        ps = min(cfg.panel_size, 1 << 16)
+        a_el = 2 if cfg.gram_dtype == "bf16" else 4
+        batch = min(cfg.chunk_rows,
+                    -(-(self.row_plan.m_loc + 1) // 8) * 8)
+        m_pad = -(-(self.row_plan.m_loc + 1) // batch) * batch
+        margin = max(1, ps // 8)
+        if (cfg.use_panels != "never"
+                and train_csr.num_cols > ps + margin
+                and m_pad * f * f * a_el <= cfg.panel_budget_bytes):
+            self.x_panel_size = ps
+            self._x_solve_batch = batch
+            self._x_m_pad = m_pad
+            self.x_steps, self.x_n_panels = build_sharded_x_panel_steps(
+                train_csr, self.row_plan, ps, cfg.min_bucket_width,
+                cfg.chunk_nnz, cfg.chunk_rows, cfg.split_width,
+                cfg.octave_points)
+            row_nnz = np.diff(np.asarray(train_csr.indptr))
+            nnz_loc = np.zeros((self.n_dev, m_pad), np.int32)
+            for d in range(self.n_dev):
+                ids = self.row_plan.global_ids[d]
+                valid = ids < self.row_plan.m
+                nnz_loc[d, :self.row_plan.m_loc][valid] = \
+                    row_nnz[ids[valid]]
+            self._x_nnz_loc = nnz_loc
         self._test_plan = (self._build_coo_plan(test_coo)
                            if test_coo is not None and test_coo.nnz else None)
         self._fn_cache = {}
@@ -163,6 +195,172 @@ class ShardedALS:
                                           donate_argnums=(1,))
         return self._fn_cache[key]
 
+    # ---------- panelized X phase ----------
+    def _x_panel_group_sm(self, shapes_key):
+        """shard_map'd accumulation of one panel's chunk group: slice
+        the panel from the replicated (padded) table, form partial
+        (A, b) per chunk, scatter-add into the per-device accumulators.
+        One program per shapes signature, reused across panels (the
+        panel start is a traced scalar)."""
+        key = ("xp_group_sm", shapes_key)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        s = self.x_panel_size
+        prec = _PRECISIONS[cfg.gram_precision]
+
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(theta_pad, p_start, a_buf, b_buf, chunk_arrays):
+            f = theta_pad.shape[1]
+            tp = jax.lax.dynamic_slice(theta_pad, (p_start, 0), (s, f))
+            if cfg.factor_dtype == "bf16":  # CUMF_USE_HALF analog
+                tp = tp.astype(jnp.bfloat16)
+            tp = jnp.concatenate(
+                [tp, jnp.zeros((1, f), tp.dtype)], axis=0)
+            a, b = a_buf[0], b_buf[0]
+            for rows, cols, vals in chunk_arrays:
+                if use_pallas:
+                    from cumf_als_tpu.ops.pallas_solve import \
+                        gather_gram_out
+                    a_part, b_part = gather_gram_out(
+                        tp, cols[0], vals[0], out_dtype=str(a.dtype))
+                else:
+                    g = jnp.take(tp, cols[0], axis=0)
+                    a_part = jnp.einsum(
+                        "rpf,rpg->rfg", g, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+                    b_part = jnp.einsum(
+                        "rp,rpf->rf", vals[0], g, precision=prec,
+                        preferred_element_type=jnp.float32)
+                a = a.at[rows[0]].add(a_part.astype(a.dtype), mode="drop")
+                b = b.at[rows[0]].add(b_part, mode="drop")
+            return a[None], b[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+        self._fn_cache[key] = sm
+        return sm
+
+    def _x_panel_group_fn(self, shapes_key):
+        key = ("xp_group", shapes_key)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                self._x_panel_group_sm(shapes_key),
+                donate_argnums=(2, 3))
+        return self._fn_cache[key]
+
+    def _x_panel_solve_sm(self):
+        """Batched per-device solves over the accumulated (A, b)."""
+        key = ("xp_solve_sm", self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        m_loc = self.row_plan.m_loc
+        m_pad = self._x_m_pad
+        batch = self._x_solve_batch
+
+        def body(a_buf, b_buf, x_shard, nnz_loc):
+            a_full, b_full, nnz = a_buf[0], b_buf[0], nnz_loc[0]
+            f = a_full.shape[-1]
+            x0_full = jnp.pad(x_shard[0], ((0, m_pad - m_loc), (0, 0)))
+            outs = []
+            for lo in range(0, m_pad, batch):
+                a = jax.lax.dynamic_slice(
+                    a_full, (lo, 0, 0), (batch, f, f)).astype(jnp.float32)
+                b = jax.lax.dynamic_slice(b_full, (lo, 0), (batch, f))
+                x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
+                nz = jax.lax.dynamic_slice(nnz, (lo,), (batch,)
+                                           ).astype(jnp.float32)
+                diag = nz * cfg.lam + (nz == 0)
+                a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
+                sv = solve(a, b, x0, solver=cfg.solver,
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                outs.append(sv * (nz > 0)[:, None])
+            solved = outs[0] if len(outs) == 1 else \
+                jnp.concatenate(outs, axis=0)
+            return solved[:m_loc][None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+        self._fn_cache[key] = sm
+        return sm
+
+    def _x_panel_solve_fn(self):
+        key = ("xp_solve", self.cfg.solver)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self._x_panel_solve_sm(),
+                                          donate_argnums=(0, 1, 2))
+        return self._fn_cache[key]
+
+    def _x_panel_groups(self):
+        """Step indices grouped by panel (bounded by fuse_max_chunks)."""
+        groups = []
+        for i, st in enumerate(self.x_steps):
+            if groups and groups[-1][0] == st.panel and \
+                    len(groups[-1][1]) < self.cfg.fuse_max_chunks:
+                groups[-1][1].append(i)
+            else:
+                groups.append((st.panel, [i]))
+        return groups
+
+    def _run_x_panel_phase(self, x_sharded, theta, xp_data,
+                           jitted: bool):
+        """The panelized X phase. jitted=True dispatches cached jits per
+        group (run()); jitted=False composes the raw shard_maps inside
+        an enclosing jit trace (fused_iteration)."""
+        cfg = self.cfg
+        steps_data, nnz_loc = xp_data
+        s, f = self.x_panel_size, cfg.f_pad
+        pad_to = self.x_n_panels * s
+        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" \
+            else jnp.float32
+        if jitted:
+            key = ("xp_init", pad_to)
+            if key not in self._fn_cache:
+                self._fn_cache[key] = (
+                    jax.jit(lambda th: jnp.pad(
+                        th, ((0, pad_to - th.shape[0]), (0, 0))),
+                        out_shardings=self._repl),
+                    jax.jit(lambda: (
+                        jnp.zeros((self.n_dev, self._x_m_pad, f, f),
+                                  a_dtype),
+                        jnp.zeros((self.n_dev, self._x_m_pad, f),
+                                  jnp.float32)),
+                        out_shardings=(self._shard, self._shard)))
+            pad_fn, zeros_fn = self._fn_cache[key]
+            theta_pad = pad_fn(theta)
+            a_buf, b_buf = zeros_fn()
+        else:
+            theta_pad = jnp.pad(
+                theta, ((0, pad_to - theta.shape[0]), (0, 0)))
+            a_buf = jax.lax.with_sharding_constraint(
+                jnp.zeros((self.n_dev, self._x_m_pad, f, f), a_dtype),
+                self._shard)
+            b_buf = jax.lax.with_sharding_constraint(
+                jnp.zeros((self.n_dev, self._x_m_pad, f), jnp.float32),
+                self._shard)
+        for panel, idxs in self._x_panel_groups():
+            shapes_key = tuple(
+                (self.x_steps[i].rows.shape[1], self.x_steps[i].width)
+                for i in idxs)
+            fn = self._x_panel_group_fn(shapes_key) if jitted \
+                else self._x_panel_group_sm(shapes_key)
+            p_start = jnp.asarray(panel * s, jnp.int32)
+            a_buf, b_buf = fn(theta_pad, p_start, a_buf, b_buf,
+                              tuple(steps_data[i] for i in idxs))
+        fn = self._x_panel_solve_fn() if jitted \
+            else self._x_panel_solve_sm()
+        return fn(a_buf, b_buf, x_sharded, nnz_loc)
+
     def _theta_block_sm(self, width: int, c: int):
         key = ("theta_sm", width, c, self.cfg.solver)
         if key in self._fn_cache:
@@ -220,13 +418,23 @@ class ShardedALS:
 
     # ---------- one fully-jitted training step ----------
     def device_plan(self):
-        """All plan arrays placed with their shardings, as pytrees."""
-        chunk_data = tuple(
-            (jax.device_put(ch.rows, self._shard),
-             jax.device_put(ch.nnz, self._shard),
-             jax.device_put(ch.cols, self._shard),
-             jax.device_put(ch.vals, self._shard))
-            for ch in self.row_plan.chunks)
+        """All plan arrays placed with their shardings, as pytrees. In
+        panel mode the X-phase entry is (per-step (rows, cols, vals),
+        per-device row nnz) instead of the bucket chunk tuples."""
+        if self.x_steps is not None:
+            chunk_data = (tuple(
+                (jax.device_put(st.rows, self._shard),
+                 jax.device_put(st.cols, self._shard),
+                 jax.device_put(st.vals, self._shard))
+                for st in self.x_steps),
+                jax.device_put(self._x_nnz_loc, self._shard))
+        else:
+            chunk_data = tuple(
+                (jax.device_put(ch.rows, self._shard),
+                 jax.device_put(ch.nnz, self._shard),
+                 jax.device_put(ch.cols, self._shard),
+                 jax.device_put(ch.vals, self._shard))
+                for ch in self.row_plan.chunks)
         block_data = tuple(
             (jax.device_put(bl.rows, self._repl),
              jax.device_put(bl.nnz_local, self._shard),
@@ -244,10 +452,15 @@ class ShardedALS:
         multi-chip validation."""
 
         def step(x_sharded, theta, chunk_data, block_data):
-            for (rows, nnz, cols, vals) in chunk_data:
-                sm = self._x_chunk_sm(int(vals.shape[-1]),
-                                      int(rows.shape[-1]))
-                x_sharded = sm(theta, x_sharded, rows, nnz, cols, vals)
+            if self.x_steps is not None:
+                x_sharded = self._run_x_panel_phase(
+                    x_sharded, theta, chunk_data, jitted=False)
+            else:
+                for (rows, nnz, cols, vals) in chunk_data:
+                    sm = self._x_chunk_sm(int(vals.shape[-1]),
+                                          int(rows.shape[-1]))
+                    x_sharded = sm(theta, x_sharded, rows, nnz, cols,
+                                   vals)
             se = jnp.zeros((), jnp.float32)
             for (rows, nnz_local, nnz_total, cols, vals) in block_data:
                 sm = self._theta_block_sm(int(vals.shape[-1]),
@@ -325,9 +538,13 @@ class ShardedALS:
         if device_data is None:
             device_data = self.device_plan()
         chunk_data, block_data = device_data
-        for arrs, ch in zip(chunk_data, self.row_plan.chunks):
-            fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
-            x_sharded = fn(theta, x_sharded, *arrs)
+        if self.x_steps is not None:
+            x_sharded = self._run_x_panel_phase(x_sharded, theta,
+                                                chunk_data, jitted=True)
+        else:
+            for arrs, ch in zip(chunk_data, self.row_plan.chunks):
+                fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
+                x_sharded = fn(theta, x_sharded, *arrs)
         se_parts = []
         for arrs, bl in zip(block_data, self.reduce_plan.blocks):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])

@@ -47,61 +47,10 @@ from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import build_panel_plan
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cumf_als_tpu.parallel.plan import (ShardedRowPlan,
+                                        align_panel_plans,
                                         build_sharded_row_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
 from cumf_als_tpu.utils.timing import seconds
-
-
-class _AlignedPanelChunk:
-    """One theta-phase step: every device's subrow chunk for the same
-    (panel index, shape). Arrays carry a leading device axis; devices
-    with fewer chunks in this (panel, width) group get dummy rows."""
-
-    __slots__ = ("panel", "width", "rows", "nnz", "cols", "vals")
-
-    def __init__(self, panel, width, rows, nnz, cols, vals):
-        self.panel = panel
-        self.width = width
-        self.rows = rows      # (n_dev, R) theta ids, == n for dummies
-        self.nnz = nnz        # (n_dev, R) subrow lengths
-        self.cols = cols      # (n_dev, R, P) panel-LOCAL x ids
-        self.vals = vals      # (n_dev, R, P)
-
-
-def _align_panel_plans(plans, n: int, panel_size: int):
-    """Merge per-device PanelPlans (over each device's local X) into a
-    lockstep schedule: for each panel index, chunks grouped by shape and
-    padded with dummy chunks so all devices run the same program."""
-    n_dev = len(plans)
-    n_panels = max(p.n_panels for p in plans)
-    steps: List[_AlignedPanelChunk] = []
-    for pi in range(n_panels):
-        # shape -> list of per-device chunk lists
-        by_shape = {}
-        for d, plan in enumerate(plans):
-            for ch in plan.chunks:
-                if ch.panel != pi:
-                    continue
-                key = (ch.rows.shape[0], ch.width)
-                by_shape.setdefault(key, [[] for _ in range(n_dev)])
-                by_shape[key][d].append(ch)
-        for (r, width), per_dev in sorted(by_shape.items()):
-            count = max(len(c) for c in per_dev)
-            for k in range(count):
-                rows = np.full((n_dev, r), n, np.int32)
-                nnz = np.zeros((n_dev, r), np.int32)
-                cols = np.full((n_dev, r, width), panel_size, np.int32)
-                vals = np.zeros((n_dev, r, width), np.float32)
-                for d in range(n_dev):
-                    if k < len(per_dev[d]):
-                        ch = per_dev[d][k]
-                        rows[d] = ch.rows
-                        nnz[d] = ch.nnz
-                        cols[d] = ch.cols
-                        vals[d] = ch.vals
-                steps.append(_AlignedPanelChunk(pi, width, rows, nnz,
-                                                cols, vals))
-    return steps, n_panels
 
 
 class ShardedOutOfCoreALS:
@@ -164,7 +113,7 @@ class ShardedOutOfCoreALS:
                 min_width=cfg.min_bucket_width, chunk_nnz=cfg.chunk_nnz,
                 chunk_rows=cfg.chunk_rows, split_width=cfg.split_width,
                 octave_points=cfg.octave_points))
-        self.theta_steps, self.n_panels = _align_panel_plans(
+        self.theta_steps, self.n_panels = align_panel_plans(
             per_dev_plans, csc.num_rows, self.panel_size)
         self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
 

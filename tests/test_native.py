@@ -80,3 +80,59 @@ def test_expand_indptr_and_sum_squares():
     np.testing.assert_array_equal(rows, [0, 0, 2, 2, 2])
     x = np.array([1.5, -2.0, 3.0], np.float32)
     assert native.sum_squares(x) == pytest.approx(1.5**2 + 4 + 9)
+
+
+class TestSynthGenerator:
+    """Native synthetic-workload generator (the hugewiki-scale path of
+    data/synthetic.py)."""
+
+    def _gen(self, m=900, n=700, nnz=30_000, nnz_test=3_000, seed=11):
+        from cumf_als_tpu.data.synthetic import _native_synthetic
+        rng = np.random.RandomState(seed)
+        u = rng.standard_normal((m, 6)).astype(np.float32) / np.sqrt(6)
+        v = rng.standard_normal((n, 6)).astype(np.float32)
+        return _native_synthetic(m, n, nnz, nnz_test, u, v, 0.2,
+                                 0.5, 0.4, 1.0, 5.0, seed, rng)
+
+    def test_csr_invariants_and_split(self):
+        train, test = self._gen()
+        m, n = train.num_rows, train.num_cols
+        assert train.indptr[0] == 0 and train.indptr[-1] == train.nnz
+        lens = np.diff(train.indptr)
+        # per-row columns strictly increasing (sorted, deduped)
+        for r in np.nonzero(lens > 1)[0][:50]:
+            seg = train.indices[train.indptr[r]:train.indptr[r + 1]]
+            assert (np.diff(seg) > 0).all()
+        # ratings in range, rounded to halves
+        assert train.data.min() >= 1.0 and train.data.max() <= 5.0
+        assert np.allclose(train.data * 2, np.round(train.data * 2))
+        # train/test keys disjoint (a pair never appears in both)
+        keys_train = (np.repeat(np.arange(m, dtype=np.int64), lens) * n
+                      + train.indices)
+        keys_test = test.row.astype(np.int64) * n + test.col
+        allk = np.concatenate([keys_train, keys_test])
+        assert np.unique(allk).size == allk.size
+        # achieved counts near the request (hash-threshold split)
+        assert train.nnz + test.nnz >= 0.95 * 33_000
+        assert abs(test.nnz - 3_000) < 600
+
+    def test_deterministic(self):
+        a_train, a_test = self._gen()
+        b_train, b_test = self._gen()
+        np.testing.assert_array_equal(a_train.indices, b_train.indices)
+        np.testing.assert_allclose(a_train.data, b_train.data)
+        np.testing.assert_array_equal(a_test.col, b_test.col)
+
+    def test_als_converges_on_native_data(self):
+        from cumf_als_tpu.config import ALSConfig
+        from cumf_als_tpu.data.synthetic import init_factors
+        from cumf_als_tpu.models.als import do_als
+        train, test = self._gen(m=150, n=120, nnz=6_000, nnz_test=600)
+        cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=12,
+                        lam=0.05, iters=4, verbose=False,
+                        debug_timing=False, solver="cholesky",
+                        train_rmse_method="direct")
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=0)
+        res = do_als(train, None, test, th0, x0, cfg)
+        assert res.history[-1].train_rmse < res.history[0].train_rmse
+        assert np.isfinite(res.history[-1].test_rmse)

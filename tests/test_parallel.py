@@ -87,6 +87,46 @@ class TestShardedEqualsSingle:
             assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
         np.testing.assert_allclose(multi.x, single.x, rtol=2e-2, atol=2e-2)
 
+    def test_panelized_x_phase_matches_single_device(self,
+                                                     medium_problem):
+        """Tiny panel_size forces the panelized sharded X phase (the
+        SPMD PanelPlan path for large replicated gather tables)."""
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg", panel_size=32, chunk_rows=64)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        single = do_als(train, None, test, th0, x0,
+                        cfg.replace(train_rmse_method="direct",
+                                    use_panels="never"))
+        sharded = ShardedALS(cfg, train, None, test, block_rows=64)
+        assert sharded.x_steps is not None  # panel mode engaged
+        assert sharded.x_n_panels > 1
+        multi = sharded.run(x0, th0)
+        for a, b in zip(single.history, multi.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=2e-3)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
+        np.testing.assert_allclose(multi.x, single.x, rtol=2e-2,
+                                   atol=2e-2)
+
+    def test_panelized_fused_iteration(self, medium_problem):
+        """The panel X phase must also compose inside the single jitted
+        SPMD step (the dryrun/fused_iteration form)."""
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg", panel_size=32, chunk_rows=64,
+                   iters=1)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        sharded = ShardedALS(cfg, train, None, test, block_rows=64)
+        assert sharded.x_steps is not None
+        x = sharded.shard_x(x0)
+        theta = sharded.replicate_theta(
+            th0 * (np.diff(sharded.train_csc.indptr) > 0)[:, None])
+        step = sharded.fused_iteration()
+        chunk_data, block_data = sharded.device_plan()
+        x, theta, se = step(x, theta, chunk_data, block_data)
+        assert np.isfinite(float(se))
+        ref = sharded.run(x0, th0)
+        assert float(np.sqrt(float(se) / train.nnz)) == pytest.approx(
+            ref.history[0].train_rmse, abs=1e-4)
+
     def test_sharded_runs_on_subset_of_devices(self, small_problem):
         train, test = small_problem
         cfg = _cfg(train, iters=1)
