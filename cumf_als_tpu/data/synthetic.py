@@ -60,7 +60,7 @@ def synthetic_ratings(
     # reference hugewiki.cu:33-36) generation practical. Same planted
     # model and skew family, different RNG stream.
     from cumf_als_tpu import native
-    if total >= (1 << 27) and native.available():
+    if total >= (1 << 26) and native.available():
         return _native_synthetic(m, n, nnz, nnz_test, u, v, noise,
                                  row_skew, col_skew, lo, hi, seed, rng)
     cdf_row = _zipf_cdf(m, row_skew, rng)
