@@ -85,7 +85,11 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         b = b_scr[...]
 
         def matvec(p):
-            return jnp.sum(a * p[:, None, :], axis=-1)
+            # A is symmetric, so A.p == (p^T A)^T: contract over the
+            # SUBLANE axis (p broadcast along lanes) instead of the
+            # lane axis — Mosaic's sublane reduction is the cheaper VPU
+            # form (measured: see docs/PERFORMANCE.md round-2 CG notes).
+            return jnp.sum(a * p[:, :, None], axis=-2)
 
         # CG state: per-row scalars kept 2-D (rb, 1) and masks as f32 —
         # 1-D bool loop carries trip a Mosaic layout bug on v5e.
@@ -128,7 +132,7 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         # free train-RMSE pieces (exact identity, see ops/rmse.py):
         # se_row = sum r^2 - 2 x.b + x^T (A - diag I) x
         cross = jnp.sum(x * b, axis=-1, keepdims=True)
-        aq = jnp.sum(a * x[:, None, :], axis=-1)
+        aq = jnp.sum(a * x[:, :, None], axis=-2)
         quad = (jnp.sum(x * aq, axis=-1, keepdims=True) -
                 diag[:, None] * jnp.sum(x * x, axis=-1, keepdims=True))
         se_ref[...] = jnp.maximum(r2_scr[...] - 2.0 * cross + quad, 0.0)
