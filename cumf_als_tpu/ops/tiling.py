@@ -210,6 +210,71 @@ class PanelChunk:
     vals: np.ndarray   # (R, P) float32
 
 
+class LazyPanelChunk:
+    """A PanelChunk whose padded (cols, vals) are NOT pre-materialized:
+    only the subrow descriptors (offset, length, owner row) are held
+    (12 B/subrow instead of ~8 B/padded-nnz), and `materialize()`
+    produces the padded arrays on demand — the hugewiki-scale streaming
+    form, mirroring the reference's per-batch CSR re-slicing
+    (reference hugewiki.cu:2508-2516). At 3.1e9 nnz the eager plan
+    arrays alone are ~28 GB; lazy plans hold ~0.4 GB."""
+
+    __slots__ = ("panel", "width", "rows", "nnz", "_csr", "_sub_off",
+                 "_sub_len", "_sub_rows", "_r_pad", "_base", "_pad_col")
+
+    def __init__(self, csr: CSRMatrix, panel: int, width: int,
+                 sub_off: np.ndarray, sub_len: np.ndarray,
+                 sub_rows: np.ndarray, r_pad: int, base: int,
+                 pad_col: int):
+        self.panel = panel
+        self.width = width
+        self._csr = csr
+        self._sub_off = sub_off
+        self._sub_len = sub_len.astype(np.int32)
+        self._sub_rows = sub_rows
+        self._r_pad = r_pad
+        self._base = base
+        self._pad_col = pad_col
+        self.rows = np.full(r_pad, csr.num_rows, np.int32)
+        self.rows[:sub_rows.size] = sub_rows
+        self.nnz = np.zeros(r_pad, np.int32)
+        self.nnz[:sub_len.size] = sub_len
+
+    @property
+    def num_rows(self) -> int:
+        return self._r_pad
+
+    @property
+    def padded_nnz(self) -> int:
+        return self._r_pad * self.width
+
+    def materialize(self):
+        """(rows, nnz, cols, vals) padded arrays for this chunk."""
+        from cumf_als_tpu import native
+        csr = self._csr
+        k = self._sub_off.shape[0]
+        if native.available():
+            rows, nnz, cols, vals = native.materialize_subrows(
+                csr.indices, csr.data, self._sub_off, self._sub_len,
+                self._sub_rows, self._r_pad, self.width, self._base,
+                self._pad_col, csr.num_rows)
+            return rows, nnz, cols, vals
+        width = self.width
+        arange_w = np.arange(width, dtype=np.int64)[None, :]
+        rows = self.rows
+        nnz = self.nnz
+        cols = np.full((self._r_pad, width), self._pad_col, np.int32)
+        vals = np.zeros((self._r_pad, width), np.float32)
+        lens = self._sub_len
+        idx = self._sub_off[:, None] + arange_w
+        mask = arange_w < lens[:, None]
+        idx = np.where(mask, idx, 0)
+        cols[:k] = np.where(mask, csr.indices[idx] - self._base,
+                            self._pad_col)
+        vals[:k] = np.where(mask, csr.data[idx], 0.0)
+        return rows, nnz, cols, vals
+
+
 @dataclasses.dataclass
 class PanelPlan:
     """Panelized phase layout: used when the gather table is too large to
@@ -238,7 +303,8 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                      min_width: int = 8, chunk_nnz: int = 1 << 22,
                      chunk_rows: int = 1 << 14,
                      split_width: int = 4096,
-                     octave_points: int = 4) -> PanelPlan:
+                     octave_points: int = 4,
+                     lazy: bool = False) -> PanelPlan:
     """Split each row's column list at panel boundaries (cols are sorted
     within rows, so subrows are contiguous slices), then bucket subrows
     by power-of-two width per (panel, width).
@@ -328,6 +394,12 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
             k = part.size
             r_pad = rows_per_chunk if k == rows_per_chunk \
                 else _round_rows(k, rows_per_chunk)
+            if lazy:
+                chunks.append(LazyPanelChunk(
+                    csr, p, width, sub_off[part], sub_len[part],
+                    sub_rows[part], r_pad, base, panel_size))
+                padded += r_pad * width
+                continue
             if use_native:
                 rows, nnz, cols, vals = native.materialize_subrows(
                     csr.indices, csr.data, sub_off[part], sub_len[part],

@@ -56,6 +56,68 @@ class ShardedChunk:
     cols: np.ndarray   # (n_dev, R, P) int32 global ids into the table
     vals: np.ndarray   # (n_dev, R, P) float32
 
+    def materialize(self):
+        return self.rows, self.nnz, self.cols, self.vals
+
+
+class LazyShardedChunk:
+    """A ShardedChunk whose padded (cols, vals) materialize on demand
+    from the CSR (per-device global row lists are kept; local rows/nnz
+    are precomputed cheaply). The hugewiki-scale streaming form: eager
+    plan arrays are ~8 B/padded-nnz (~28 GB at 3.1e9 nnz), these hold
+    4 B/row."""
+
+    __slots__ = ("width", "rows", "nnz", "_csr", "_grows", "_r")
+
+    def __init__(self, csr: CSRMatrix, width: int, grows, local_rows,
+                 r: int, m_loc: int):
+        """grows/local_rows: per-device lists of global/local row ids
+        (may be shorter than r — the rest are dummy tails, rows ==
+        m_loc)."""
+        self.width = width
+        self._csr = csr
+        self._grows = grows
+        self._r = r
+        n_dev = len(grows)
+        self.rows = np.full((n_dev, r), m_loc, np.int32)
+        self.nnz = np.zeros((n_dev, r), np.int32)
+        lens_all = np.diff(np.asarray(csr.indptr))
+        for d in range(n_dev):
+            k = grows[d].size
+            self.rows[d, :k] = local_rows[d]
+            self.nnz[d, :k] = lens_all[grows[d]]
+
+    def materialize(self):
+        from cumf_als_tpu import native
+        csr = self._csr
+        n_dev = len(self._grows)
+        r, width = self._r, self.width
+        cols = np.empty((n_dev, r, width), np.int32)
+        vals = np.empty((n_dev, r, width), np.float32)
+        use_native = native.available()
+        indptr = np.asarray(csr.indptr, np.int64)
+        for d in range(n_dev):
+            g = self._grows[d]
+            if use_native:
+                rows_in = np.full(r, -1, np.int32)
+                rows_in[:g.size] = g
+                _ro, _nz, cols[d], vals[d] = native.materialize_chunk(
+                    indptr, csr.indices, csr.data, rows_in, width,
+                    csr.num_cols, csr.num_rows, csr.num_rows)
+            else:
+                cols[d] = csr.num_cols
+                vals[d] = 0.0
+                lens = (indptr[g + 1] - indptr[g]).astype(np.int32)
+                offs = indptr[g]
+                aw = np.arange(width, dtype=np.int64)[None, :]
+                idx = offs[:, None] + aw
+                mask = aw < lens[:, None]
+                idx = np.where(mask, idx, 0)
+                cols[d, :g.size] = np.where(mask, csr.indices[idx],
+                                            csr.num_cols)
+                vals[d, :g.size] = np.where(mask, csr.data[idx], 0.0)
+        return self.rows, self.nnz, cols, vals
+
 
 @dataclasses.dataclass
 class ShardedRowPlan:
@@ -71,8 +133,11 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
                            min_width: int = 8,
                            max_width: int = 1 << 18,
                            chunk_nnz: int = 1 << 22,
-                           chunk_rows: int = 1 << 14) -> ShardedRowPlan:
-    """Shard csr's rows over n_dev devices with aligned bucket chunks."""
+                           chunk_rows: int = 1 << 14,
+                           lazy: bool = False) -> ShardedRowPlan:
+    """Shard csr's rows over n_dev devices with aligned bucket chunks.
+    lazy=True keeps chunks as LazyShardedChunk (cols/vals materialize at
+    stream time — the hugewiki-scale form)."""
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     assign = assign_rows_balanced(row_nnz, n_dev)
     m_loc = -(-csr.num_rows // n_dev)
@@ -108,6 +173,14 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
                        for d in range(n_dev))
         arange_w = np.arange(width, dtype=np.int64)[None, :]
         for c in range(n_chunks):
+            if lazy:
+                grows = [per_dev_buckets[d][b][c * rows_per_chunk:
+                                               (c + 1) * rows_per_chunk]
+                         for d in range(n_dev)]
+                lrows = [local_of[g] for g in grows]
+                chunks.append(LazyShardedChunk(
+                    csr, width, grows, lrows, rows_per_chunk, m_loc))
+                continue
             rows = np.full((n_dev, rows_per_chunk), m_loc, np.int32)
             nnz = np.zeros((n_dev, rows_per_chunk), np.int32)
             cols = np.full((n_dev, rows_per_chunk, width), csr.num_cols,
@@ -247,6 +320,38 @@ class AlignedPanelChunk:
         self.cols = cols      # (n_dev, R, P) panel-LOCAL gather ids
         self.vals = vals      # (n_dev, R, P)
 
+    def materialize(self):
+        return self.rows, self.nnz, self.cols, self.vals
+
+
+class LazyAlignedPanelChunk:
+    """Aligned step over per-device LazyPanelChunks: the (n_dev, R, P)
+    padded arrays materialize at stream time (hugewiki-scale form)."""
+
+    __slots__ = ("panel", "width", "_per_dev", "_r", "_sentinel",
+                 "_panel_size")
+
+    def __init__(self, panel, width, per_dev, r, sentinel_row,
+                 panel_size):
+        self.panel = panel
+        self.width = width
+        self._per_dev = per_dev      # list of LazyPanelChunk or None
+        self._r = r
+        self._sentinel = sentinel_row
+        self._panel_size = panel_size
+
+    def materialize(self):
+        n_dev = len(self._per_dev)
+        r, width = self._r, self.width
+        rows = np.full((n_dev, r), self._sentinel, np.int32)
+        nnz = np.zeros((n_dev, r), np.int32)
+        cols = np.full((n_dev, r, width), self._panel_size, np.int32)
+        vals = np.zeros((n_dev, r, width), np.float32)
+        for d, ch in enumerate(self._per_dev):
+            if ch is not None:
+                rows[d], nnz[d], cols[d], vals[d] = ch.materialize()
+        return rows, nnz, cols, vals
+
 
 def align_panel_plans(plans, sentinel_row: int, panel_size: int):
     """Merge per-device PanelPlans into a lockstep schedule: for each
@@ -269,13 +374,21 @@ def align_panel_plans(plans, sentinel_row: int, panel_size: int):
         for (r, width), per_dev in sorted(by_shape.items()):
             count = max(len(c) for c in per_dev)
             for k in range(count):
+                members = [per_dev[d][k] if k < len(per_dev[d]) else None
+                           for d in range(n_dev)]
+                if any(not hasattr(ch, "cols") for ch in members
+                       if ch is not None):
+                    # lazy chunks: defer the (n_dev, R, P) copy
+                    steps.append(LazyAlignedPanelChunk(
+                        pi, width, members, r, sentinel_row, panel_size))
+                    continue
                 rows = np.full((n_dev, r), sentinel_row, np.int32)
                 nnz = np.zeros((n_dev, r), np.int32)
                 cols = np.full((n_dev, r, width), panel_size, np.int32)
                 vals = np.zeros((n_dev, r, width), np.float32)
                 for d in range(n_dev):
-                    if k < len(per_dev[d]):
-                        ch = per_dev[d][k]
+                    if members[d] is not None:
+                        ch = members[d]
                         rows[d] = ch.rows
                         nnz[d] = ch.nnz
                         cols[d] = ch.cols

@@ -53,6 +53,11 @@ from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
 from cumf_als_tpu.utils.timing import seconds
 
 
+# Above this nnz the plan arrays stream (LazyShardedChunk /
+# LazyPanelChunk) instead of being pre-materialized.
+LAZY_NNZ_THRESHOLD = 1 << 28
+
+
 class ShardedOutOfCoreALS:
     """Multi-chip ALS with the large factor host-resident per shard."""
 
@@ -70,11 +75,19 @@ class ShardedOutOfCoreALS:
         self._repl = NamedSharding(self.mesh, P())
         self._fn_cache = {}
 
+        # Lazy plans above ~2.7e8 nnz: padded (cols, vals) arrays
+        # materialize per chunk at stream time (the reference re-slices
+        # its CSR per batch the same way, hugewiki.cu:2508-2516); eager
+        # plan arrays are ~8 B/padded-nnz — ~28 GB at full-hugewiki
+        # scale, which cannot coexist with the CSR+CSC+X host store.
+        lazy = train_csr.nnz >= LAZY_NNZ_THRESHOLD
+
         # --- X phase: nnz-balanced row shards, aligned bucket chunks.
         # Plan arrays stay host-side numpy; streamed per chunk.
         self.row_plan: ShardedRowPlan = build_sharded_row_plan(
             train_csr, self.n_dev, cfg.min_bucket_width,
-            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
+            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
+            lazy=lazy)
 
         # --- theta phase: per-device panel plans over LOCAL X ids.
         # Each device's sub-matrix: theta rows x its local x columns.
@@ -82,37 +95,55 @@ class ShardedOutOfCoreALS:
         self.panel_size = min(cfg.panel_size, 1 << 16)
         per_dev_plans = []
         csc = self.train_csc
-        col_owner = np.zeros(train_csr.num_rows + 1, np.int32)
-        col_local = np.zeros(train_csr.num_rows + 1, np.int32)
-        for d in range(self.n_dev):
-            ids = self.row_plan.global_ids[d]
-            valid = ids < train_csr.num_rows
-            col_owner[ids[valid]] = d
-            col_local[ids[valid]] = np.arange(m_loc, dtype=np.int32)[valid]
-        indptr = np.asarray(csc.indptr, np.int64)
-        lens = np.diff(indptr)
-        owner_flat = col_owner[csc.indices]
-        local_flat = col_local[csc.indices]
-        row_of = np.repeat(np.arange(csc.num_rows, dtype=np.int64), lens)
-        for d in range(self.n_dev):
-            sel = owner_flat == d
-            r_d = row_of[sel]
-            c_d = local_flat[sel]
-            v_d = csc.data[sel]
-            order = np.lexsort((c_d, r_d))
-            r_d, c_d, v_d = r_d[order], c_d[order], v_d[order]
-            sub_indptr = np.zeros(csc.num_rows + 1, np.int64)
-            np.cumsum(np.bincount(r_d, minlength=csc.num_rows),
-                      out=sub_indptr[1:])
-            sub = CSRMatrix(indptr=sub_indptr,
-                            indices=c_d.astype(np.int32),
-                            data=v_d.astype(np.float32),
-                            num_rows=csc.num_rows, num_cols=m_loc)
+        if self.n_dev == 1:
+            # single-device shard: global_ids[0] is the identity, so
+            # the device's sub-matrix IS the CSC view — skip the
+            # owner-split construction (whose flat temporaries are
+            # ~3x nnz bytes, prohibitive at hugewiki scale).
+            sub = CSRMatrix(indptr=csc.indptr, indices=csc.indices,
+                            data=csc.data, num_rows=csc.num_rows,
+                            num_cols=m_loc)
             per_dev_plans.append(build_panel_plan(
                 sub, panel_size=self.panel_size,
                 min_width=cfg.min_bucket_width, chunk_nnz=cfg.chunk_nnz,
                 chunk_rows=cfg.chunk_rows, split_width=cfg.split_width,
-                octave_points=cfg.octave_points))
+                octave_points=cfg.octave_points, lazy=lazy))
+        else:
+            col_owner = np.zeros(train_csr.num_rows + 1, np.int32)
+            col_local = np.zeros(train_csr.num_rows + 1, np.int32)
+            for d in range(self.n_dev):
+                ids = self.row_plan.global_ids[d]
+                valid = ids < train_csr.num_rows
+                col_owner[ids[valid]] = d
+                col_local[ids[valid]] = np.arange(
+                    m_loc, dtype=np.int32)[valid]
+            indptr = np.asarray(csc.indptr, np.int64)
+            lens = np.diff(indptr)
+            owner_flat = col_owner[csc.indices]
+            local_flat = col_local[csc.indices]
+            row_of = np.repeat(np.arange(csc.num_rows, dtype=np.int64),
+                               lens)
+            for d in range(self.n_dev):
+                sel = owner_flat == d
+                r_d = row_of[sel]
+                c_d = local_flat[sel]
+                v_d = csc.data[sel]
+                order = np.lexsort((c_d, r_d))
+                r_d, c_d, v_d = r_d[order], c_d[order], v_d[order]
+                sub_indptr = np.zeros(csc.num_rows + 1, np.int64)
+                np.cumsum(np.bincount(r_d, minlength=csc.num_rows),
+                          out=sub_indptr[1:])
+                sub = CSRMatrix(indptr=sub_indptr,
+                                indices=c_d.astype(np.int32),
+                                data=v_d.astype(np.float32),
+                                num_rows=csc.num_rows, num_cols=m_loc)
+                per_dev_plans.append(build_panel_plan(
+                    sub, panel_size=self.panel_size,
+                    min_width=cfg.min_bucket_width,
+                    chunk_nnz=cfg.chunk_nnz,
+                    chunk_rows=cfg.chunk_rows,
+                    split_width=cfg.split_width,
+                    octave_points=cfg.octave_points, lazy=lazy))
         self.theta_steps, self.n_panels = align_panel_plans(
             per_dev_plans, csc.num_rows, self.panel_size)
         self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
@@ -179,18 +210,19 @@ class ShardedOutOfCoreALS:
         pending = []
         m_loc = self.row_plan.m_loc
         for ch in self.row_plan.chunks:
-            safe_rows = np.minimum(ch.rows, m_loc - 1)
-            x0 = np.where((ch.rows < m_loc)[..., None],
+            rows, nnz, cols, vals = ch.materialize()
+            safe_rows = np.minimum(rows, m_loc - 1)
+            x0 = np.where((rows < m_loc)[..., None],
                           np.take_along_axis(
                               x_host, safe_rows[..., None], axis=1),
                           0.0).astype(np.float32)
-            fn = self._x_solve_fn(ch.width, ch.rows.shape[1])
+            fn = self._x_solve_fn(ch.width, rows.shape[1])
             solved = fn(theta,
                         jax.device_put(x0, self._shard),
-                        jax.device_put(ch.nnz, self._shard),
-                        jax.device_put(ch.cols, self._shard),
-                        jax.device_put(ch.vals, self._shard))
-            pending.append((ch.rows, ch.nnz, solved))
+                        jax.device_put(nnz, self._shard),
+                        jax.device_put(cols, self._shard),
+                        jax.device_put(vals, self._shard))
+            pending.append((rows, nnz, solved))
             if len(pending) >= 2:
                 self._drain_one(x_host, pending)
         while pending:
@@ -321,11 +353,12 @@ class ShardedOutOfCoreALS:
                 nxt = panel_slice(panel_ids[nxt_i]) \
                     if nxt_i < len(panel_ids) else None
                 cur_panel = st.panel
-            fn = self._accum_fn(st.width, st.rows.shape[1])
+            rows, _nnz, cols, vals = st.materialize()
+            fn = self._accum_fn(st.width, rows.shape[1])
             a_buf, b_buf = fn(a_buf, b_buf, xp,
-                              jax.device_put(st.rows, self._shard),
-                              jax.device_put(st.cols, self._shard),
-                              jax.device_put(st.vals, self._shard))
+                              jax.device_put(rows, self._shard),
+                              jax.device_put(cols, self._shard),
+                              jax.device_put(vals, self._shard))
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         th_new, se_term = self._reduce_solve_fn()(

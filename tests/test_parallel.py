@@ -158,6 +158,45 @@ class TestShardedOutOfCore:
             assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
         np.testing.assert_allclose(multi.x, single.x, rtol=2e-2, atol=2e-2)
 
+    def test_lazy_plans_match_eager(self, medium_problem, monkeypatch):
+        """Streaming-materialized plans (the hugewiki-scale form) must
+        produce the identical trajectory as eager plan arrays."""
+        import cumf_als_tpu.parallel.sharded_ooc as so
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg", panel_size=32, chunk_rows=64,
+                   iters=2)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        eager = so.ShardedOutOfCoreALS(cfg, train, None, test).run(
+            x0, th0)
+        monkeypatch.setattr(so, "LAZY_NNZ_THRESHOLD", 1)
+        model = so.ShardedOutOfCoreALS(cfg, train, None, test)
+        from cumf_als_tpu.ops.tiling import LazyPanelChunk
+        from cumf_als_tpu.parallel.plan import (LazyAlignedPanelChunk,
+                                                LazyShardedChunk)
+        assert all(isinstance(c, LazyShardedChunk)
+                   for c in model.row_plan.chunks)
+        assert any(isinstance(s, LazyAlignedPanelChunk)
+                   for s in model.theta_steps)
+        lazy = model.run(x0, th0)
+        for a, b in zip(eager.history, lazy.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-6)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=1e-6)
+        np.testing.assert_allclose(lazy.x, eager.x, rtol=1e-5, atol=1e-5)
+
+    def test_lazy_plans_single_device(self, medium_problem, monkeypatch):
+        """n_dev=1 takes the identity-shard shortcut (no owner split);
+        lazy + shortcut must still converge."""
+        import cumf_als_tpu.parallel.sharded_ooc as so
+        monkeypatch.setattr(so, "LAZY_NNZ_THRESHOLD", 1)
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg", panel_size=64, chunk_rows=64,
+                   iters=2)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        model = so.ShardedOutOfCoreALS(cfg, train, None, test,
+                                       n_devices=1)
+        res = model.run(x0, th0)
+        assert res.history[-1].train_rmse < res.history[0].train_rmse
+
     def test_bf16_gram_accumulators(self, small_problem):
         from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
         train, test = small_problem
