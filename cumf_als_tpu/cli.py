@@ -59,7 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     # (als.cu:191-219).
     p.add_argument("--train-rmse", choices=["direct", "fused"],
                    default="fused")
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    # pallas = the fused Gram+CG kernels (probed at start; falls back to
+    # the XLA path per-op when the toolchain can't compile them) — the
+    # best-kernel-by-default stance of the reference CLI (USE_CG,
+    # reference als.cu:28)
+    p.add_argument("--backend", choices=["xla", "pallas"],
+                   default="pallas")
     p.add_argument("--use-panels", choices=["auto", "never"],
                    default="auto")
     p.add_argument("--mesh", type=int, default=0,

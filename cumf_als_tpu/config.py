@@ -81,6 +81,12 @@ class ALSConfig:
     # (chunk_rows * f_pad^2 * 4 bytes), the dominant allocation — the
     # analog of the reference's per-batch tt buffer (als.cu:780-783).
     chunk_rows: int = 1 << 14
+    # Rows per batch of the two-level batched-panel path (both-sides-big
+    # phases): bigger batches mean fuller width buckets (lower padding,
+    # fewer compiled shapes) at the cost of a larger reusable (B, f, f)
+    # accumulator. 0 = auto: 2^17 rows with bf16 Gram accumulators
+    # (4.3 GB), 2^16 with f32 (4.3 GB as well).
+    batch_rows: int = 0
     # Width-grid density: 4 = quarter-octave (pad <= 1.25x/row),
     # 8 = eighth-octave from width 64 up (pad <= 1.125x where the mass
     # is, ~2x the compiled shapes). Padding is wall-clock on TPU.

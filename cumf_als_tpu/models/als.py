@@ -226,6 +226,14 @@ class ALS:
             return "batched_panel"  # both sides big (Yahoo-class)
         return "direct"
 
+    def _batch_rows(self) -> int:
+        """Row-batch size of the batched-panel path (see
+        ALSConfig.batch_rows)."""
+        cfg = self.cfg
+        if cfg.batch_rows:
+            return cfg.batch_rows
+        return 1 << 17 if cfg.gram_dtype == "bf16" else 1 << 16
+
     def _chunk_nnz(self, csr: CSRMatrix, batch: int) -> int:
         """Per-phase chunk budget. The reference's X_BATCH/THETA_BATCH
         (als.cu:768, 881) split a phase into `batch` memory batches; our
@@ -254,13 +262,19 @@ class ALS:
                 cfg.plan_cache_dir, "panel", csr, params,
                 lambda: build_panel_plan(csr, **params))
         elif strategy == "batched_panel":
+            # Large row batches + sparse-bucket promotion bound BOTH the
+            # padding (fuller width buckets: Yahoo expansion 1.135 ->
+            # 1.10) and the compiled-program count (606 fused-group
+            # shapes -> 79 — the per-batch sub-plans otherwise multiply
+            # ragged shapes; measured on Yahoo, see docs/PERFORMANCE.md)
             params = dict(panel_size=cfg.panel_size,
-                          batch_rows=cfg.chunk_rows,
+                          batch_rows=self._batch_rows(),
                           min_width=cfg.min_bucket_width,
                           chunk_nnz=chunk_nnz,
                           chunk_rows=cfg.chunk_rows,
                           split_width=cfg.split_width,
-                          octave_points=cfg.octave_points)
+                          octave_points=cfg.octave_points,
+                          ragged="mantissa", min_bucket_rows=16)
             plan = cached_build(
                 cfg.plan_cache_dir, "batched_panel", csr, params,
                 lambda: build_batched_panel_plan(csr, **params))
@@ -399,10 +413,17 @@ class ALS:
             first_batch = False
             x0 = jnp.take(current, gids, axis=0, mode="fill",
                           fill_value=0.0)
-            solved = _solve_slice(a_buf, b_buf, x0, row_nnz,
-                                  jnp.asarray(0, jnp.int32), cfg.lam,
-                                  bsz, cfg.solver, cfg.cg_iters,
-                                  cfg.cg_tol)
+            # solve in bounded sub-slices: an all-at-once solve over a
+            # 2^17-row batch would cast the full bf16 A buffer to f32
+            # (8.6 GB transient)
+            sb = min(bsz, cfg.chunk_rows)
+            outs = [_solve_slice(a_buf, b_buf, x0, row_nnz,
+                                 jnp.asarray(lo, jnp.int32), cfg.lam,
+                                 sb, cfg.solver, cfg.cg_iters,
+                                 cfg.cg_tol)
+                    for lo in range(0, bsz, sb)]
+            solved = outs[0] if len(outs) == 1 else \
+                jnp.concatenate(outs, axis=0)
             if collect_rmse_terms:
                 se_parts.append(_se_terms(a_buf, b_buf, solved))
             current = current.at[gids].set(solved, mode="drop")

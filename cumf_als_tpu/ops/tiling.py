@@ -304,7 +304,9 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                      chunk_rows: int = 1 << 14,
                      split_width: int = 4096,
                      octave_points: int = 4,
-                     lazy: bool = False) -> PanelPlan:
+                     lazy: bool = False,
+                     ragged: str = "mantissa",
+                     min_bucket_rows: int = 0) -> PanelPlan:
     """Split each row's column list at panel boundaries (cols are sorted
     within rows, so subrows are contiguous slices), then bucket subrows
     by power-of-two width per (panel, width).
@@ -369,6 +371,29 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                              octave_points=octave_points)
     widx = np.searchsorted(widths, sub_len)
 
+    # Sparse-bucket promotion: a (panel, width) group with fewer than
+    # min_bucket_rows subrows is merged into the next width up. The
+    # batched-panel path (one sub-plan per row batch) otherwise scatters
+    # work over hundreds of tiny ragged chunks whose shapes are all
+    # distinct — compiled-program count explodes (measured: 740 chunk
+    # shapes / 606 fused-group shapes on Yahoo) while the padding cost
+    # of promoting a handful of rows one width step is a few percent of
+    # one chunk.
+    if min_bucket_rows > 1 and sub_len.size:
+        nw = len(widths)
+        counts = np.bincount(sub_panel.astype(np.int64) * nw + widx,
+                             minlength=n_panels * nw).reshape(n_panels,
+                                                              nw)
+        fmap = np.tile(np.arange(nw), (n_panels, 1))
+        for p in range(n_panels):
+            c = counts[p].astype(np.int64)
+            for b in range(nw - 1):
+                if 0 < c[b] < min_bucket_rows:
+                    c[b + 1] += c[b]
+                    c[b] = 0
+                    fmap[p, fmap[p] == b] = b + 1
+        widx = fmap[sub_panel, widx]
+
     # group subrows by (panel, width) with one argsort
     group = sub_panel.astype(np.int64) * len(widths) + widx
     order = np.argsort(group, kind="stable")
@@ -392,8 +417,16 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
         for lo_i in range(0, sel.size, rows_per_chunk):
             part = sel[lo_i:lo_i + rows_per_chunk]
             k = part.size
-            r_pad = rows_per_chunk if k == rows_per_chunk \
-                else _round_rows(k, rows_per_chunk)
+            if k == rows_per_chunk:
+                r_pad = rows_per_chunk
+            elif ragged == "pow2":
+                # coarser ragged shapes (<= 2x pad) for paths where the
+                # mantissa grid would multiply compiled-program count
+                # (one sub-plan per row batch: shapes must be shared
+                # across batches)
+                r_pad = min(rows_per_chunk, max(8, _next_pow2(k)))
+            else:
+                r_pad = _round_rows(k, rows_per_chunk)
             if lazy:
                 chunks.append(LazyPanelChunk(
                     csr, p, width, sub_off[part], sub_len[part],
@@ -464,7 +497,9 @@ def build_batched_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                              chunk_nnz: int = 1 << 22,
                              chunk_rows: int = 1 << 14,
                              split_width: int = 4096,
-                             octave_points: int = 4
+                             octave_points: int = 4,
+                             ragged: str = "mantissa",
+                             min_bucket_rows: int = 16
                              ) -> BatchedPanelPlan:
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     order = np.argsort(-row_nnz, kind="stable")
@@ -490,7 +525,9 @@ def build_batched_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
                         num_rows=b, num_cols=csr.num_cols)
         plan = build_panel_plan(sub, panel_size, min_width, chunk_nnz,
                                 chunk_rows, split_width=split_width,
-                                octave_points=octave_points)
+                                octave_points=octave_points,
+                                ragged=ragged,
+                                min_bucket_rows=min_bucket_rows)
         gids = np.full(batch_rows, csr.num_rows, np.int32)
         gids[:b] = ids
         nnz_b = np.zeros(batch_rows, np.int32)
