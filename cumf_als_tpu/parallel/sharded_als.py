@@ -59,7 +59,7 @@ class ShardedALS:
                  train_csc: Optional[CSRMatrix] = None,
                  test_coo: Optional[COOMatrix] = None,
                  n_devices: Optional[int] = None,
-                 block_rows: int = 1024):
+                 block_rows: int = 1 << 14):
         self.cfg = cfg
         self.mesh = make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
