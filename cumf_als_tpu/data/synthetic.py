@@ -155,12 +155,18 @@ WORKLOAD_SHAPES = {
                   nnz_test=4_003_960, skew=(0.45, 0.4),
                   rating_range=(0.0, 100.0)),
     # hugewiki at 1/25 scale: same tall-skinny shape (m >> n), the
-    # out-of-core X regime (full hugewiki is 50M x 39.8k, 3.1B nnz —
-    # hugewiki.cu:27-42; generation at that size needs a multi-core
-    # host, this is the single-core-host compromise)
+    # out-of-core X regime; quick smoke form of the full workload
     "hugewiki_mini": dict(m=2_000_000, n=39_780, nnz=124_000_000,
                           nnz_test=2_000_000, skew=(0.35, 0.45),
                           rating_range=(1.0, 5.0)),
+    # the FULL hugewiki workload (reference hugewiki.cu:27-42): 3.1B
+    # training ratings — the "largest MF problem ever reported". The
+    # native generator (dataplane.cpp synth_*) makes this practical on
+    # a single-core host (~25 min); all flat indexing is int64
+    # (nnz > 2^31).
+    "hugewiki": dict(m=50_082_603, n=39_780, nnz=3_101_144_313,
+                     nnz_test=344_573_330, skew=(0.35, 0.45),
+                     rating_range=(1.0, 5.0)),
 }
 
 

@@ -384,10 +384,11 @@ class ShardedOutOfCoreALS:
         f_pad = self.cfg.f_pad
         out = np.zeros((self.n_dev, self.row_plan.m_loc, f_pad),
                        np.float32)
-        for d in range(self.n_dev):
-            ids = self.row_plan.global_ids[d]
-            valid = ids < self.row_plan.m
-            out[d, valid, :x0.shape[1]] = x0[ids[valid]]
+        if x0.any():  # zeros stay calloc-virtual (25.6 GB at hugewiki)
+            for d in range(self.n_dev):
+                ids = self.row_plan.global_ids[d]
+                valid = ids < self.row_plan.m
+                out[d, valid, :x0.shape[1]] = x0[ids[valid]]
         return out
 
     def unshard_x_host(self, x_host: np.ndarray) -> np.ndarray:
@@ -402,18 +403,37 @@ class ShardedOutOfCoreALS:
         coo = self.test_coo
         if coo is None or not coo.nnz:
             return float("nan")
-        x_full = self.unshard_x_host(x_host)
         th = np.asarray(theta)[:, :self.cfg.f]
-        pred = np.einsum("ij,ij->i", x_full[coo.row], th[coo.col])
-        e = coo.data - pred
-        return float(np.sqrt(np.mean(e * e)))
+        # chunked: at hugewiki scale (344M test entries, m=50M) a full
+        # x[coo.row] gather would materialize ~140 GB
+        f = self.cfg.f
+        m_loc = self.row_plan.m_loc
+        inv_dev = np.zeros(self.row_plan.m, np.int32)
+        inv_loc = np.zeros(self.row_plan.m, np.int32)
+        for d in range(self.n_dev):
+            ids = self.row_plan.global_ids[d]
+            valid = ids < self.row_plan.m
+            inv_dev[ids[valid]] = d
+            inv_loc[ids[valid]] = np.arange(m_loc, dtype=np.int32)[valid]
+        se = 0.0
+        step = 1 << 23
+        for lo in range(0, coo.nnz, step):
+            r = coo.row[lo:lo + step]
+            c = coo.col[lo:lo + step]
+            v = coo.data[lo:lo + step]
+            xg = x_host[inv_dev[r], inv_loc[r], :f]
+            pred = np.einsum("ij,ij->i", xg, th[c])
+            e = v - pred
+            se += float(np.dot(e, e))
+        return float(np.sqrt(se / coo.nnz))
 
     # ---------- training loop ----------
     def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
         cfg = self.cfg
         theta0 = theta0 * (self.theta_nnz > 0).astype(np.float32)[:, None]
-        x0 = x0 * (np.diff(self.train_csr.indptr) > 0
-                   ).astype(np.float32)[:, None]
+        if x0.any():  # all-zero x0 (the reference init): skip the 20 GB+
+            x0 = x0 * (np.diff(self.train_csr.indptr) > 0
+                       ).astype(np.float32)[:, None]
         x_host = self.shard_x_host(x0)
         th = np.zeros((self.train_csc.num_rows, cfg.f_pad), np.float32)
         th[:, :cfg.f] = theta0

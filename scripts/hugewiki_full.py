@@ -1,0 +1,106 @@
+"""Full-hugewiki capability run: the reference's flagship workload
+(M=50,082,603, N=39,780, NNZ=3,101,144,313 — "the largest matrix
+factorization problem ever reported", reference hugewiki/hugewiki.cu:27-42,
+README.md:15) on ONE TPU chip + host memory, via the combined
+sharded+out-of-core program (parallel/sharded_ooc.py):
+
+  - X (50M x 128 = 25.6 GB) host-resident, streamed per chunk/panel
+    (the XT_h analog, hugewiki.cu:2300-2302);
+  - plan arrays lazy — padded chunks materialize at stream time
+    (hugewiki.cu:2508-2516's per-batch CSR re-slice);
+  - all flat indexing int64 (nnz > 2^31, hugewiki.cu:2299's concern);
+  - theta partial Grams accumulated on-device, psum'd (1-device: free).
+
+Usage: python scripts/hugewiki_full.py [--scale 1.0] [--iters 1]
+Prints one JSON line with per-iteration timings and RMSEs.
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--devices", type=int, default=1)
+    p.add_argument("--f", type=int, default=100)
+    p.add_argument("--cg-iters", type=int, default=6)
+    args = p.parse_args()
+
+    from cumf_als_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    print(f"[hugewiki] devices: {jax.devices()}", file=sys.stderr,
+          flush=True)
+
+    import bench
+    t0 = time.monotonic()
+    train, test = bench.load_workload("hugewiki", args.scale)
+    print(f"[hugewiki] dataset ready in {time.monotonic() - t0:.0f}s: "
+          f"m={train.num_rows} n={train.num_cols} nnz={train.nnz} "
+          f"nnz_test={test.nnz} rss={rss_gb():.1f}GB",
+          file=sys.stderr, flush=True)
+
+    from cumf_als_tpu.config import ALSConfig
+    from cumf_als_tpu.data.synthetic import init_factors
+    from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+
+    cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=args.f,
+                    nnz=train.nnz, nnz_test=test.nnz, lam=0.048,
+                    iters=args.iters, solver="cg",
+                    cg_iters=args.cg_iters, factor_dtype="bf16",
+                    gram_dtype="bf16", backend="pallas",
+                    host_offload_x=True, verbose=True,
+                    debug_timing=True)
+    t0 = time.monotonic()
+    model = ShardedOutOfCoreALS(cfg, train, None, test,
+                                n_devices=args.devices)
+    plan_s = time.monotonic() - t0
+    print(f"[hugewiki] plans built in {plan_s:.0f}s "
+          f"({model.n_panels} local X panels x {model.n_dev} devices, "
+          f"{len(model.row_plan.chunks)} X chunks, "
+          f"{len(model.theta_steps)} theta steps) rss={rss_gb():.1f}GB",
+          file=sys.stderr, flush=True)
+
+    x0 = np.zeros((cfg.m, cfg.f), np.float32)  # reference init: X = 0
+    _, th0 = init_factors(8, cfg.n, cfg.f, seed=cfg.seed)
+    t0 = time.monotonic()
+    res = model.run(x0, th0)
+    total = time.monotonic() - t0
+
+    out = {
+        "metric": "hugewiki_f%d_sec_per_iter" % args.f,
+        "value": round(total / max(1, args.iters), 2),
+        "unit": "s/iter",
+        "scale": args.scale,
+        "m": cfg.m, "n": cfg.n, "nnz": train.nnz,
+        "iters": args.iters,
+        "plan_seconds": round(plan_s, 1),
+        "x_seconds": [round(h.x_seconds, 1) for h in res.history],
+        "theta_seconds": [round(h.theta_seconds, 1)
+                          for h in res.history],
+        "train_rmse": [round(h.train_rmse, 5) for h in res.history],
+        "test_rmse": [round(h.test_rmse, 5) for h in res.history],
+        "rss_gb": round(rss_gb(), 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
