@@ -367,13 +367,28 @@ class ShardedALS:
             return self._fn_cache[key]
         cfg = self.cfg
 
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
         def body(x_shard, theta, rows, nnz_local, nnz_total, cols, vals):
-            xs_ext = jnp.concatenate(
-                [x_shard[0],
-                 jnp.zeros((1, x_shard.shape[-1]), x_shard.dtype)], axis=0)
-            a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
-                                         cfg.gram_precision,
-                                         cfg.factor_dtype)
+            xs = x_shard[0]
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_out
+                if cfg.factor_dtype == "bf16":
+                    xs = xs.astype(jnp.bfloat16)
+                xs_ext = jnp.concatenate(
+                    [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
+                a_part, b_part = gather_gram_out(xs_ext, cols[0],
+                                                 vals[0])
+            else:
+                xs_ext = jnp.concatenate(
+                    [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)],
+                    axis=0)
+                a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
+                                             cfg.gram_precision,
+                                             cfg.factor_dtype)
             # ICI all-reduce of partial Gram/RHS — replaces the reference's
             # anchor-GPU memcpy+saxpy loop (hugewiki.cu:2703-2730).
             a = jax.lax.psum(a_part, DATA_AXIS)
