@@ -65,7 +65,8 @@ def load_workload(name: str, scale: float, seed: int = 0):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="netflix",
-                   choices=["netflix", "ml10m", "yahoo", "hugewiki_mini"])
+                   choices=["netflix", "ml10m", "yahoo", "hugewiki_mini",
+                            "hugewiki"])
     p.add_argument("--out-of-core", action="store_true",
                    help="host-resident X (the hugewiki XT_h path)")
     p.add_argument("--scale", type=float, default=1.0)
