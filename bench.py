@@ -111,7 +111,7 @@ def main() -> int:
     log(f"[bench] devices: {jax.devices()}")
 
     lam = {"netflix": 0.048, "ml10m": 0.05, "yahoo": 1.4,
-           "hugewiki_mini": 0.048}[args.workload]
+           "hugewiki_mini": 0.048, "hugewiki": 0.048}[args.workload]
     train, test = load_workload(args.workload, args.scale)
 
     from cumf_als_tpu.config import ALSConfig
