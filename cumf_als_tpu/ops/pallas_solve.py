@@ -85,11 +85,7 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         b = b_scr[...]
 
         def matvec(p):
-            # A is symmetric, so A.p == (p^T A)^T: contract over the
-            # SUBLANE axis (p broadcast along lanes) instead of the
-            # lane axis — Mosaic's sublane reduction is the cheaper VPU
-            # form (measured: see docs/PERFORMANCE.md round-2 CG notes).
-            return jnp.sum(a * p[:, :, None], axis=-2)
+            return jnp.sum(a * p[:, None, :], axis=-1)
 
         # CG state: per-row scalars kept 2-D (rb, 1) and masks as f32 —
         # 1-D bool loop carries trip a Mosaic layout bug on v5e.
