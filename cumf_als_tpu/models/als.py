@@ -223,7 +223,23 @@ class ALS:
         if csr.num_cols > cfg.panel_size + margin:
             if a_bytes <= cfg.panel_budget_bytes:
                 return "panel"
-            return "batched_panel"  # both sides big (Yahoo-class)
+            # Both sides big (Yahoo-class). Panels only pay off when
+            # rows are long relative to the panel count: a short row
+            # (Yahoo avg 253 nnz over ~10+16 panels) touches most
+            # panels, and every touch is a 2*f*f read-modify-write of
+            # the HBM (A, b) accumulators — ~10x its gather bytes —
+            # plus the solve must then run through the XLA batched CG
+            # instead of the fused in-VMEM kernel. Measured on Yahoo
+            # F=100 (v5e): direct 7.44 s/iter vs batched-panel 11.74.
+            # Prefer direct whenever the fused Gram+CG kernel is
+            # available; batched_panel remains the fallback for the
+            # XLA backend (where direct would materialize per-chunk
+            # (R, f, f) Gram buffers at full-table gather rate).
+            if cfg.backend == "pallas" and cfg.solver == "cg":
+                from cumf_als_tpu.ops.pallas_solve import fused_available
+                if fused_available():
+                    return "direct"
+            return "batched_panel"
         return "direct"
 
     def _batch_rows(self) -> int:

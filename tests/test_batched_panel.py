@@ -36,6 +36,30 @@ def test_batched_panel_plan_covers_all(medium_problem):
         assert sorted(got.get(i, [])) == ref, i
 
 
+def test_both_sides_big_prefers_direct_when_fused(medium_problem,
+                                                  monkeypatch):
+    """Yahoo-class phases (accumulator over budget) route to the direct
+    fused path when the Pallas Gram+CG kernel is available — measured
+    7.44 vs 11.74 s/iter on Yahoo F=100 (v5e) — and fall back to
+    batched_panel otherwise."""
+    import cumf_als_tpu.models.als as als_mod
+    import cumf_als_tpu.ops.pallas_solve as ps
+    train, _ = medium_problem
+    base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
+                use_panels="auto", panel_size=64, panel_budget_bytes=1,
+                backend="pallas", solver="cg")
+
+    cfg = ALSConfig(**base)
+    model = ALS.__new__(ALS)
+    model.cfg = cfg
+    monkeypatch.setattr(ps, "fused_available", lambda: True)
+    assert model._phase_strategy(train) == "direct"
+    monkeypatch.setattr(ps, "fused_available", lambda: False)
+    assert model._phase_strategy(train) == "batched_panel"
+    model.cfg = ALSConfig(**{**base, "solver": "cholesky"})
+    assert model._phase_strategy(train) == "batched_panel"
+
+
 @pytest.mark.parametrize("solver", ["cholesky", "cg"])
 def test_batched_panel_matches_direct(medium_problem, solver):
     train, test = medium_problem
