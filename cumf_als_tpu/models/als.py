@@ -171,9 +171,10 @@ def _se_terms(a_buf, b_buf, x_new):
     return quad - 2.0 * cross
 
 
-@partial(jax.jit, static_argnames=("batch", "solver", "cg_iters"))
+@partial(jax.jit, static_argnames=("batch", "solver", "cg_iters",
+                                   "backend"))
 def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
-                 cg_iters, cg_tol):
+                 cg_iters, cg_tol, backend="xla"):
     from cumf_als_tpu.ops.solve import solve as _solve
     f = a_buf.shape[-1]
     a = jax.lax.dynamic_slice(a_buf, (lo, 0, 0), (batch, f, f))
@@ -184,7 +185,7 @@ def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
     diag = nnzf * lam + (nnzf == 0)
     a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
     out = _solve(a, b, x0, solver=solver, cg_iters=cg_iters,
-                 cg_tol=cg_tol)
+                 cg_tol=cg_tol, backend=backend)
     return out * (nnzf > 0)[:, None]
 
 
@@ -436,7 +437,7 @@ class ALS:
             outs = [_solve_slice(a_buf, b_buf, x0, row_nnz,
                                  jnp.asarray(lo, jnp.int32), cfg.lam,
                                  sb, cfg.solver, cfg.cg_iters,
-                                 cfg.cg_tol)
+                                 cfg.cg_tol, backend=cfg.backend)
                     for lo in range(0, bsz, sb)]
             solved = outs[0] if len(outs) == 1 else \
                 jnp.concatenate(outs, axis=0)
@@ -504,7 +505,7 @@ class ALS:
             outs.append(_solve_slice(
                 a_buf, b_buf, x0_full, aux["row_nnz_pad"],
                 jnp.asarray(lo, jnp.int32), cfg.lam, batch, cfg.solver,
-                cfg.cg_iters, cfg.cg_tol))
+                cfg.cg_iters, cfg.cg_tol, backend=cfg.backend))
         new_pad = jnp.concatenate(outs, axis=0) if len(outs) > 1 \
             else outs[0]
         se = 0.0
@@ -546,7 +547,8 @@ class ALS:
                             factor_dtype=cfg.factor_dtype,
                             gram_dtype=cfg.gram_dtype)
             solved = solve(a, b, x0, solver=cfg.solver,
-                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                           backend=cfg.backend)
             solved = solved * (nnz > 0)[:, None]
             se = fused_sq_err(a, b, vals, nnz, cfg.lam, solved) \
                 if collect_rmse_terms else jnp.zeros((), jnp.float32)

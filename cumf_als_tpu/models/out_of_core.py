@@ -125,7 +125,8 @@ class OutOfCoreALS:
                                 factor_dtype=cfg.factor_dtype,
                                 gram_dtype=cfg.gram_dtype)
                 solved = solve(a, b, x0, solver=cfg.solver,
-                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                               backend=cfg.backend)
                 solved = solved * (dc.nnz > 0)[:, None]
             pending.append((ch.rows, ch.nnz, solved))
             # drain to keep at most 2 chunks in flight (double buffer)
@@ -196,7 +197,7 @@ class OutOfCoreALS:
             part = _solve_slice(
                 a_buf, b_buf, theta_pad, self._theta_nnz_pad,
                 jnp.asarray(lo, jnp.int32), cfg.lam, batch, cfg.solver,
-                cfg.cg_iters, cfg.cg_tol)
+                cfg.cg_iters, cfg.cg_tol, backend=cfg.backend)
             outs.append(part)
         new = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         # free train RMSE from the accumulators (ops/rmse.py identity);

@@ -53,6 +53,53 @@ def _row_block(width: int, f: int) -> int:
     return max(8, rb)
 
 
+def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
+             debug: bool = False):
+    """The reference CG iteration (cg.cu:36-231) on the VPU, batched over
+    the rows of a VMEM-resident A (rb, f, f). Warm start from x, fixed
+    iteration count, per-system early exit at rsnew < cg_tol applied
+    *after* x took that iteration's alpha — exactly ops/solve.solve_cg,
+    with masks carried as f32 (1-D bool loop carries trip a Mosaic
+    layout bug on v5e)."""
+
+    def matvec(p):
+        return jnp.sum(a * p[:, None, :], axis=-1)
+
+    r = b - matvec(x)
+    p = r
+    rsold = jnp.sum(r * r, axis=-1, keepdims=True)
+    active = jnp.ones_like(rsold)
+
+    def body(it, carry):
+        x, r, p, rsold, active = carry
+        ap = matvec(p)
+        pap = jnp.sum(p * ap, axis=-1, keepdims=True)
+        nonzero = (jnp.abs(pap) > 0).astype(jnp.float32)
+        safe = pap + (1.0 - nonzero)
+        alpha = active * nonzero * rsold / safe
+        x = x + alpha * p
+        r = r - alpha * ap
+        rsnew = jnp.sum(r * r, axis=-1, keepdims=True)
+        if debug:
+            # in-kernel CG tracing for system 0 of grid block 0 —
+            # the reference's DEBUG printf (cg.cu:93-111) analog
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                pl.debug_print(
+                    "cg it={} rsold={} pap={} rsnew={}",
+                    it, rsold[0, 0], pap[0, 0], rsnew[0, 0])
+        still = active * (rsnew >= cg_tol).astype(jnp.float32)
+        safe_old = rsold + (rsold <= 0).astype(jnp.float32)
+        beta = still * rsnew / safe_old
+        p = still * (r + beta * p) + (1.0 - still) * p
+        rsold = still * rsnew + (1.0 - still) * rsold
+        return x, r, p, rsold, still
+
+    x, *_ = jax.lax.fori_loop(0, cg_iters, body,
+                              (x, r, p, rsold, active))
+    return x
+
+
 def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
             b_scr, r2_scr,
             *, lam: float, cg_iters: int, cg_tol: float, n_p: int,
@@ -83,45 +130,8 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
                ).astype(jnp.float32)
         a = a_scr[...] + diag[:, None, None] * eye[None]
         b = b_scr[...]
-
-        def matvec(p):
-            return jnp.sum(a * p[:, None, :], axis=-1)
-
-        # CG state: per-row scalars kept 2-D (rb, 1) and masks as f32 —
-        # 1-D bool loop carries trip a Mosaic layout bug on v5e.
-        x = x0_ref[...].astype(jnp.float32)
-        r = b - matvec(x)
-        p = r
-        rsold = jnp.sum(r * r, axis=-1, keepdims=True)
-        active = jnp.ones_like(rsold)
-
-        def body(it, carry):
-            x, r, p, rsold, active = carry
-            ap = matvec(p)
-            pap = jnp.sum(p * ap, axis=-1, keepdims=True)
-            nonzero = (jnp.abs(pap) > 0).astype(jnp.float32)
-            safe = pap + (1.0 - nonzero)
-            alpha = active * nonzero * rsold / safe
-            x = x + alpha * p
-            r = r - alpha * ap
-            rsnew = jnp.sum(r * r, axis=-1, keepdims=True)
-            if debug:
-                # in-kernel CG tracing for system 0 of grid block 0 —
-                # the reference's DEBUG printf (cg.cu:93-111) analog
-                @pl.when(pl.program_id(0) == 0)
-                def _():
-                    pl.debug_print(
-                        "cg it={} rsold={} pap={} rsnew={}",
-                        it, rsold[0, 0], pap[0, 0], rsnew[0, 0])
-            still = active * (rsnew >= cg_tol).astype(jnp.float32)
-            safe_old = rsold + (rsold <= 0).astype(jnp.float32)
-            beta = still * rsnew / safe_old
-            p = still * (r + beta * p) + (1.0 - still) * p
-            rsold = still * rsnew + (1.0 - still) * rsold
-            return x, r, p, rsold, still
-
-        x, *_ = jax.lax.fori_loop(0, cg_iters, body,
-                                  (x, r, p, rsold, active))
+        x = _cg_loop(a, b, x0_ref[...].astype(jnp.float32),
+                     cg_iters, cg_tol, debug=debug)
         live = (nnz > 0).astype(jnp.float32)[:, None]
         x = x * live
         out_ref[...] = x
@@ -268,7 +278,66 @@ def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
                          cg_tol=cg_tol)
 
 
+def _cg_solve_kernel(a_ref, b_ref, x0_ref, out_ref, *, cg_iters: int,
+                     cg_tol: float):
+    a = a_ref[...].astype(jnp.float32)
+    out_ref[...] = _cg_loop(a, b_ref[...],
+                            x0_ref[...].astype(jnp.float32),
+                            cg_iters, cg_tol)
+
+
+@functools.partial(jax.jit, static_argnames=("cg_iters", "cg_tol"))
+def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
+                    cg_iters: int = 6, cg_tol: float = 1e-4):
+    """Batched CG with A staged through VMEM exactly once.
+
+    The XLA batched CG (ops/solve.solve_cg) re-reads A (f*f*4 B/system)
+    from HBM on every one of its 6+1 matvecs; this kernel DMAs each A
+    block to VMEM once and runs the whole iteration there — the same
+    traffic shape that motivated the reference's one-block-per-system
+    smem CG (cg.cu:36-45, A re-read amortized across iterations by smem
+    x/p/r residency). Semantics identical to solve_cg (warm start, fixed
+    iters, per-system early exit). Used by the paths that must
+    materialize A in HBM (post-psum sharded solves, panel accumulators)
+    where the fully-fused Gram+CG kernel cannot apply.
+
+    a: (R, f, f) f32 or bf16; b, x0: (R, f) f32. R need not be aligned.
+    """
+    r, f, _ = a.shape
+    # VMEM per block: A f32 copy (rb*f*f*4) + the storage-dtype block +
+    # CG state; rb=64 at f=128 is ~6.3 MB worst case.
+    rb = 64
+    if r < rb:
+        rb = max(8, 1 << ((r - 1).bit_length()))
+    r_pad = -(-r // rb) * rb
+    if r_pad != r:
+        # zero rows solve to zero (alpha guard), so plain zero padding
+        # is inert and keeps one compiled shape per (rb, f)
+        a = jnp.pad(a, ((0, r_pad - r), (0, 0), (0, 0)))
+        b = jnp.pad(b, ((0, r_pad - r), (0, 0)))
+        x0 = jnp.pad(x0, ((0, r_pad - r), (0, 0)))
+    kernel = functools.partial(_cg_solve_kernel, cg_iters=int(cg_iters),
+                               cg_tol=float(cg_tol))
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, f, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+    )(a, b, x0)
+    return out[:r]
+
+
 _STATUS: Optional[bool] = None
+_CG_STATUS: Optional[bool] = None
 
 
 def fused_available() -> bool:
@@ -286,3 +355,20 @@ def fused_available() -> bool:
         except Exception:
             _STATUS = False
     return _STATUS
+
+
+def cg_solve_available() -> bool:
+    """Probe-compile the standalone CG kernel once."""
+    global _CG_STATUS
+    if _CG_STATUS is None:
+        try:
+            a = jnp.eye(128, dtype=jnp.float32)[None] * 2.0
+            a = jnp.broadcast_to(a, (8, 128, 128))
+            b = jnp.ones((8, 128), jnp.float32)
+            x0 = jnp.zeros((8, 128), jnp.float32)
+            out = solve_cg_pallas(a, b, x0)
+            _CG_STATUS = bool(np.allclose(np.asarray(out), 0.5,
+                                          atol=1e-5))
+        except Exception:
+            _CG_STATUS = False
+    return _CG_STATUS

@@ -96,8 +96,18 @@ def solve_cg(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 def solve(a, b, x0, solver: str = "cg", cg_iters: int = 6,
-          cg_tol: float = 1e-4):
+          cg_tol: float = 1e-4, backend: str = "xla"):
+    """backend="pallas" routes CG through the VMEM-resident kernel
+    (pallas_solve.solve_cg_pallas) — A is read from HBM once instead of
+    once per matvec. Falls back to the XLA loop when the kernel is
+    unavailable on the local toolchain or f is not lane-aligned."""
     if solver == "cg":
+        if backend == "pallas" and a.shape[-1] % 128 == 0:
+            from cumf_als_tpu.ops.pallas_solve import (cg_solve_available,
+                                                       solve_cg_pallas)
+            if cg_solve_available():
+                return solve_cg_pallas(a, b, x0, cg_iters=cg_iters,
+                                       cg_tol=cg_tol)
         return solve_cg(a, b, x0, cg_iters=cg_iters, cg_tol=cg_tol)
     if solver == "cholesky":
         return solve_cholesky(a, b)

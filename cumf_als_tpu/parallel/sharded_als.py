@@ -172,7 +172,8 @@ class ShardedALS:
                 a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
                                                       dtype=jnp.float32)
                 solved = solve(a, b, x0, solver=cfg.solver,
-                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                               backend=cfg.backend)
                 solved = solved * (nnz[0] > 0)[:, None]
             xs = xs.at[rows[0]].set(solved, mode="drop")
             return xs[None]
@@ -280,7 +281,8 @@ class ShardedALS:
                 diag = nz * cfg.lam + (nz == 0)
                 a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
                 sv = solve(a, b, x0, solver=cfg.solver,
-                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                           backend=cfg.backend)
                 outs.append(sv * (nz > 0)[:, None])
             solved = outs[0] if len(outs) == 1 else \
                 jnp.concatenate(outs, axis=0)
@@ -399,7 +401,8 @@ class ShardedALS:
                                                   dtype=jnp.float32)
             th0 = jnp.take(theta, rows, axis=0, mode="fill", fill_value=0.0)
             solved = solve(a, b, th0, solver=cfg.solver,
-                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                           backend=cfg.backend)
             solved = solved * (nnzf > 0)[:, None]
             theta = theta.at[rows].set(solved, mode="drop")
             # free train-RMSE pieces (exact identity, ops/rmse.py)

@@ -189,7 +189,8 @@ class ShardedOutOfCoreALS:
                                 factor_dtype=cfg.factor_dtype,
                                 gram_dtype=cfg.gram_dtype)
                 solved = solve(a, b, x0[0], solver=cfg.solver,
-                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                               backend=cfg.backend)
                 solved = solved * (nnz[0] > 0)[:, None]
             return solved[None]
 
@@ -301,7 +302,8 @@ class ShardedOutOfCoreALS:
             f = a.shape[-1]
             a_reg = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
             th = solve(a_reg, b, theta0, solver=cfg.solver,
-                       cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                       cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                       backend=cfg.backend)
             th = th * (nnzf > 0)[:, None]
             # train sq-err identity terms (ops/rmse.py): raw A, b
             cross = jnp.sum(th * b)

@@ -97,3 +97,43 @@ def test_gather_gram_cg_end_to_end():
     g = np.where(mask[:, :, None], table[np.minimum(cols, n - 1)], 0.0)
     ref_x, _ = _reference(g, vals, nnz, 0.05, f)
     np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)
+
+
+def test_solve_cg_pallas_matches_xla_cg():
+    """Standalone VMEM-resident CG (A read once) vs ops.solve.solve_cg:
+    identical iterates including warm start, early exit and zero-system
+    guards; R deliberately not a multiple of the row block (pad path)."""
+    from cumf_als_tpu.ops.solve import solve_cg
+    rng = np.random.RandomState(7)
+    r, f = 21, 128
+    q = rng.standard_normal((r, f, f)).astype(np.float32) * 0.1
+    a = np.einsum("rkf,rkg->rfg", q, q) + \
+        3.0 * np.eye(f, dtype=np.float32)
+    a[5] = np.eye(f)  # an instantly-converging system (early exit)
+    b = rng.standard_normal((r, f)).astype(np.float32)
+    x0 = rng.standard_normal((r, f)).astype(np.float32) * 0.1
+    ref = np.asarray(solve_cg(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(x0), cg_iters=6, cg_tol=1e-4))
+    got = np.asarray(ps.solve_cg_pallas(jnp.asarray(a), jnp.asarray(b),
+                                        jnp.asarray(x0), cg_iters=6,
+                                        cg_tol=1e-4))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_solve_cg_pallas_bf16_a():
+    """bf16 A storage (CUMF_TT_FP16 analog) through the kernel."""
+    from cumf_als_tpu.ops.solve import solve_cg
+    rng = np.random.RandomState(11)
+    r, f = 8, 128
+    q = rng.standard_normal((r, f, f)).astype(np.float32) * 0.1
+    a = np.einsum("rkf,rkg->rfg", q, q) + \
+        2.0 * np.eye(f, dtype=np.float32)
+    b = rng.standard_normal((r, f)).astype(np.float32)
+    x0 = np.zeros((r, f), np.float32)
+    a_bf = jnp.asarray(a).astype(jnp.bfloat16)
+    ref = np.asarray(solve_cg(a_bf, jnp.asarray(b), jnp.asarray(x0),
+                              cg_iters=6, cg_tol=1e-4))
+    got = np.asarray(ps.solve_cg_pallas(a_bf, jnp.asarray(b),
+                                        jnp.asarray(x0), cg_iters=6,
+                                        cg_tol=1e-4))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
