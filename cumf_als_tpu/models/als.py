@@ -177,15 +177,17 @@ def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
                  cg_iters, cg_tol, backend="xla"):
     from cumf_als_tpu.ops.solve import solve as _solve
     f = a_buf.shape[-1]
+    # raw (possibly bf16) A slice; the Tikhonov diagonal is applied at
+    # solve time — in VMEM on the pallas path, so the HBM accumulator
+    # never gets upcast to f32
     a = jax.lax.dynamic_slice(a_buf, (lo, 0, 0), (batch, f, f))
     b = jax.lax.dynamic_slice(b_buf, (lo, 0), (batch, f))
     x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
     nnz = jax.lax.dynamic_slice(row_nnz, (lo,), (batch,))
     nnzf = nnz.astype(jnp.float32)
     diag = nnzf * lam + (nnzf == 0)
-    a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
     out = _solve(a, b, x0, solver=solver, cg_iters=cg_iters,
-                 cg_tol=cg_tol, backend=backend)
+                 cg_tol=cg_tol, backend=backend, diag=diag)
     return out * (nnzf > 0)[:, None]
 
 

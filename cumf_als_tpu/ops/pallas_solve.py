@@ -286,9 +286,26 @@ def _cg_solve_kernel(a_ref, b_ref, x0_ref, out_ref, *, cg_iters: int,
                             cg_iters, cg_tol)
 
 
+def _cg_solve_reg_kernel(a_ref, diag_ref, b_ref, x0_ref, out_ref, *,
+                         cg_iters: int, cg_tol: float):
+    """Variant taking the raw (un-regularized) Gram plus the per-system
+    Tikhonov diagonal: the diag*I add happens on the f32 VMEM copy, so
+    a bf16 A (CUMF_TT_FP16 analog) never has to be upcast in HBM."""
+    f = out_ref.shape[-1]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (f, f), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+           ).astype(jnp.float32)
+    a = a_ref[...].astype(jnp.float32) + \
+        diag_ref[...][:, 0][:, None, None] * eye[None]
+    out_ref[...] = _cg_loop(a, b_ref[...],
+                            x0_ref[...].astype(jnp.float32),
+                            cg_iters, cg_tol)
+
+
 @functools.partial(jax.jit, static_argnames=("cg_iters", "cg_tol"))
 def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
-                    cg_iters: int = 6, cg_tol: float = 1e-4):
+                    cg_iters: int = 6, cg_tol: float = 1e-4,
+                    diag: Optional[jnp.ndarray] = None):
     """Batched CG with A staged through VMEM exactly once.
 
     The XLA batched CG (ops/solve.solve_cg) re-reads A (f*f*4 B/system)
@@ -302,6 +319,9 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     where the fully-fused Gram+CG kernel cannot apply.
 
     a: (R, f, f) f32 or bf16; b, x0: (R, f) f32. R need not be aligned.
+    diag: optional (R,) f32 Tikhonov diagonal added to the f32 VMEM
+    copy of A — lets a bf16 A stay bf16 in HBM instead of being upcast
+    by an XLA `a + diag*I` before the solve.
     """
     r, f, _ = a.shape
     # VMEM per block: A f32 copy (rb*f*f*4) + the storage-dtype block +
@@ -316,23 +336,34 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
         a = jnp.pad(a, ((0, r_pad - r), (0, 0), (0, 0)))
         b = jnp.pad(b, ((0, r_pad - r), (0, 0)))
         x0 = jnp.pad(x0, ((0, r_pad - r), (0, 0)))
-    kernel = functools.partial(_cg_solve_kernel, cg_iters=int(cg_iters),
-                               cg_tol=float(cg_tol))
+        if diag is not None:
+            diag = jnp.pad(diag, (0, r_pad - r))
+    a_spec = pl.BlockSpec((rb, f, f), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((rb, f), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    if diag is None:
+        kernel = functools.partial(_cg_solve_kernel,
+                                   cg_iters=int(cg_iters),
+                                   cg_tol=float(cg_tol))
+        args = (a, b, x0)
+        in_specs = [a_spec, v_spec, v_spec]
+    else:
+        kernel = functools.partial(_cg_solve_reg_kernel,
+                                   cg_iters=int(cg_iters),
+                                   cg_tol=float(cg_tol))
+        args = (a, diag.astype(jnp.float32).reshape(r_pad, 1), b, x0)
+        in_specs = [a_spec,
+                    pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    v_spec, v_spec]
     out = pl.pallas_call(
         kernel,
         grid=(r_pad // rb,),
-        in_specs=[
-            pl.BlockSpec((rb, f, f), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, f), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, f), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((rb, f), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=v_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
-    )(a, b, x0)
+    )(*args)
     return out[:r]
 
 

@@ -96,18 +96,28 @@ def solve_cg(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 def solve(a, b, x0, solver: str = "cg", cg_iters: int = 6,
-          cg_tol: float = 1e-4, backend: str = "xla"):
+          cg_tol: float = 1e-4, backend: str = "xla", diag=None):
     """backend="pallas" routes CG through the VMEM-resident kernel
     (pallas_solve.solve_cg_pallas) — A is read from HBM once instead of
     once per matvec. Falls back to the XLA loop when the kernel is
-    unavailable on the local toolchain or f is not lane-aligned."""
+    unavailable on the local toolchain or f is not lane-aligned.
+
+    diag: optional (R,) Tikhonov diagonal. When given, `a` is the RAW
+    Gram and the regularizer is applied at solve time — in VMEM on the
+    pallas path, so a bf16 A is never upcast in HBM."""
     if solver == "cg":
         if backend == "pallas" and a.shape[-1] % 128 == 0:
             from cumf_als_tpu.ops.pallas_solve import (cg_solve_available,
                                                        solve_cg_pallas)
             if cg_solve_available():
                 return solve_cg_pallas(a, b, x0, cg_iters=cg_iters,
-                                       cg_tol=cg_tol)
+                                       cg_tol=cg_tol, diag=diag)
+    if diag is not None:
+        f = a.shape[-1]
+        a = a.astype(jnp.float32) + \
+            diag.astype(jnp.float32)[:, None, None] * \
+            jnp.eye(f, dtype=jnp.float32)
+    if solver == "cg":
         return solve_cg(a, b, x0, cg_iters=cg_iters, cg_tol=cg_tol)
     if solver == "cholesky":
         return solve_cholesky(a, b)

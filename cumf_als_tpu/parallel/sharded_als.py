@@ -272,17 +272,18 @@ class ShardedALS:
             x0_full = jnp.pad(x_shard[0], ((0, m_pad - m_loc), (0, 0)))
             outs = []
             for lo in range(0, m_pad, batch):
+                # raw (possibly bf16) A slice; the regularizer rides
+                # into the solve (in-VMEM on the pallas path)
                 a = jax.lax.dynamic_slice(
-                    a_full, (lo, 0, 0), (batch, f, f)).astype(jnp.float32)
+                    a_full, (lo, 0, 0), (batch, f, f))
                 b = jax.lax.dynamic_slice(b_full, (lo, 0), (batch, f))
                 x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
                 nz = jax.lax.dynamic_slice(nnz, (lo,), (batch,)
                                            ).astype(jnp.float32)
                 diag = nz * cfg.lam + (nz == 0)
-                a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
                 sv = solve(a, b, x0, solver=cfg.solver,
                            cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                           backend=cfg.backend)
+                           backend=cfg.backend, diag=diag)
                 outs.append(sv * (nz > 0)[:, None])
             solved = outs[0] if len(outs) == 1 else \
                 jnp.concatenate(outs, axis=0)
@@ -374,6 +375,12 @@ class ShardedALS:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
 
+        # bf16 partials (CUMF_TT_FP16 analog): halves the partial-Gram
+        # HBM writes AND the ICI all-reduce bytes; the regularizer is
+        # applied to the f32 VMEM copy inside the CG solve kernel, so
+        # the raw A never gets upcast in HBM.
+        a_dt = "bfloat16" if cfg.gram_dtype == "bf16" else "float32"
+
         def body(x_shard, theta, rows, nnz_local, nnz_total, cols, vals):
             xs = x_shard[0]
             if use_pallas:
@@ -383,7 +390,7 @@ class ShardedALS:
                 xs_ext = jnp.concatenate(
                     [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
                 a_part, b_part = gather_gram_out(xs_ext, cols[0],
-                                                 vals[0])
+                                                 vals[0], out_dtype=a_dt)
             else:
                 xs_ext = jnp.concatenate(
                     [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)],
@@ -391,28 +398,26 @@ class ShardedALS:
                 a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
                                              cfg.gram_precision,
                                              cfg.factor_dtype)
+                a_part = a_part.astype(jnp.dtype(a_dt))
             # ICI all-reduce of partial Gram/RHS — replaces the reference's
             # anchor-GPU memcpy+saxpy loop (hugewiki.cu:2703-2730).
             a = jax.lax.psum(a_part, DATA_AXIS)
             b = jax.lax.psum(b_part, DATA_AXIS)
             nnzf = nnz_total.astype(jnp.float32)
             diag = nnzf * cfg.lam + (nnzf == 0)
-            a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
-                                                  dtype=jnp.float32)
             th0 = jnp.take(theta, rows, axis=0, mode="fill", fill_value=0.0)
             solved = solve(a, b, th0, solver=cfg.solver,
                            cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                           backend=cfg.backend)
+                           backend=cfg.backend, diag=diag)
             solved = solved * (nnzf > 0)[:, None]
             theta = theta.at[rows].set(solved, mode="drop")
-            # free train-RMSE pieces (exact identity, ops/rmse.py)
+            # free train-RMSE pieces (exact identity, ops/rmse.py) from
+            # the raw (un-regularized) A
             vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
                                DATA_AXIS)
-            a_noreg = a - diag[:, None, None] * jnp.eye(
-                a.shape[-1], dtype=jnp.float32)
             xt = solved
             cross = jnp.sum(xt * b, axis=-1)
-            aq = jnp.einsum("rfg,rg->rf", a_noreg, xt,
+            aq = jnp.einsum("rfg,rg->rf", a, xt,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
             quad = jnp.sum(xt * aq, axis=-1)

@@ -299,11 +299,11 @@ class ShardedOutOfCoreALS:
             b = jax.lax.psum(b_buf[0], DATA_AXIS)
             nnzf = nnz_pad.astype(jnp.float32)
             diag = nnzf * cfg.lam + (nnzf == 0)
-            f = a.shape[-1]
-            a_reg = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
-            th = solve(a_reg, b, theta0, solver=cfg.solver,
+            # raw A into the solve; diag applied in VMEM on the pallas
+            # path (keeps a bf16 accumulator bf16 in HBM)
+            th = solve(a, b, theta0, solver=cfg.solver,
                        cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                       backend=cfg.backend)
+                       backend=cfg.backend, diag=diag)
             th = th * (nnzf > 0)[:, None]
             # train sq-err identity terms (ops/rmse.py): raw A, b
             cross = jnp.sum(th * b)

@@ -137,3 +137,21 @@ def test_solve_cg_pallas_bf16_a():
                                         jnp.asarray(x0), cg_iters=6,
                                         cg_tol=1e-4))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_solve_cg_pallas_diag_variant():
+    """Raw A + in-kernel Tikhonov diag == pre-regularized A solve."""
+    rng = np.random.RandomState(3)
+    r, f = 16, 128
+    q = rng.standard_normal((r, f, f)).astype(np.float32) * 0.1
+    a_raw = np.einsum("rkf,rkg->rfg", q, q).astype(np.float32)
+    diag = rng.uniform(1.0, 3.0, r).astype(np.float32)
+    a_reg = a_raw + diag[:, None, None] * np.eye(f, dtype=np.float32)
+    b = rng.standard_normal((r, f)).astype(np.float32)
+    x0 = np.zeros((r, f), np.float32)
+    ref = np.asarray(ps.solve_cg_pallas(jnp.asarray(a_reg),
+                                        jnp.asarray(b), jnp.asarray(x0)))
+    got = np.asarray(ps.solve_cg_pallas(jnp.asarray(a_raw),
+                                        jnp.asarray(b), jnp.asarray(x0),
+                                        diag=jnp.asarray(diag)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
