@@ -26,28 +26,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _p_block(width: int) -> int:
+def _p_block(width: int, f: int = 128, g_itemsize: int = 4) -> int:
     """Contraction-axis block size: divides the bucket width and is a
     lane-legal tile (multiple of 128, or the full width). Bigger tiles
     amortize Mosaic's per-matmul overhead (measured 2.9 -> 2.4 ns/nnz
     going 512 -> 1024 on v5e), bounded by VMEM via _row_block. Widths
-    are q*2^k for q in {1,3,5,7} (ops/tiling.make_width_grid)."""
-    if width <= 1024:
+    are q*2^k for q in {1,3,5,7} (ops/tiling.make_width_grid).
+
+    The cap is the widest tile whose minimum 8-row block still fits
+    the measured ~3x-G VMEM footprint (double-buffered block + Mosaic's
+    staging copy) under the 16 MB scoped-vmem limit — a width-240/f32
+    chunk at rb 32 compiled to a 16.31 MB stack and OOM'd. Widths are
+    q*2^k (k >= 4), so a multiple-of-16 divisor always exists."""
+    room = (12 << 20) // 8 - 4 * f * f - 64 * f
+    cap = max(16, room // (3 * f * g_itemsize + 8))
+    if width <= cap:
         return width
-    for cand in (1024, 768, 512, 384, 256, 128):
-        if width % cand == 0:
+    for cand in (1024, 896, 768, 640, 512, 448, 384, 320, 256, 224,
+                 192, 160, 128, 96, 64, 48, 32, 16):
+        if cand <= cap and width % cand == 0:
             return cand
     return width
 
 
-def _row_block(width: int, f: int) -> int:
-    """Rows per grid step: bound VMEM (A scratch R_b*f*f*4 + G block).
-    At least 8 — the 2-D operand blocks (vals, nnz, x0) need 8-sublane
-    tiles."""
-    budget = 6 << 20
-    g_bytes = 4 * _p_block(width) * f
-    a_bytes = 4 * f * f + 4 * f * 4
-    rb = max(8, budget // (g_bytes + a_bytes))
+def _row_block(width: int, f: int, g_itemsize: int = 4) -> int:
+    """Rows per grid step, bounding the kernel's VMEM footprint.
+
+    Per-row model (empirical, v5e): 3x the G block (Mosaic double-
+    buffers the input block and stages a copy for the batched
+    dot_general) + double-buffered vals + the f32 A scratch + CG state
+    and out blocks. Measured footprint at width 240/f32/rb 32 was
+    16.31 MB (~510 KB/row), matching the 3x-G model within 15 %.
+    At least 8 — the 2-D operand blocks need 8-sublane tiles."""
+    pb = _p_block(width, f, g_itemsize)
+    per_row = (3 * pb * f * g_itemsize   # G block x (2 buffers + copy)
+               + 2 * pb * 4              # vals block, double-buffered
+               + 4 * f * f               # A scratch (f32)
+               + 16 * f * 4)             # CG state + b/out/x0 blocks
+    budget = 12 << 20
+    rb = max(8, budget // per_row)
     # power-of-two, <= 256, and must divide the (pow2-or-q*2^k) row count
     rb = min(256, 1 << (rb.bit_length() - 1))
     return max(8, rb)
@@ -153,8 +170,9 @@ def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
     nnz (R,), x0 (R, f) warm start. Returns (x (R, f), se (R, 1)) where
     se holds the per-row training squared error of the solved factors."""
     r, p, f = g.shape
-    pb = _p_block(p)
-    rb = _row_block(p, f)
+    gi = jnp.dtype(g.dtype).itemsize
+    pb = _p_block(p, f, gi)
+    rb = _row_block(p, f, gi)
     while r % rb:
         rb //= 2
     n_p = p // pb
@@ -232,8 +250,9 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
     if factor_dtype == "bf16":
         g = g.astype(jnp.bfloat16)
     r, p, f = g.shape
-    pb = _p_block(p)
-    rb = _row_block(p, f)
+    gi = jnp.dtype(g.dtype).itemsize
+    pb = _p_block(p, f, gi)
+    rb = _row_block(p, f, gi)
     while r % rb:
         rb //= 2
     n_p = p // pb
@@ -324,9 +343,12 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     by an XLA `a + diag*I` before the solve.
     """
     r, f, _ = a.shape
-    # VMEM per block: A f32 copy (rb*f*f*4) + the storage-dtype block +
-    # CG state; rb=64 at f=128 is ~6.3 MB worst case.
-    rb = 64
+    # VMEM per block: the double-buffered storage-dtype A block + its
+    # f32 cast + CG state. rb=64 at f=128/f32 measures ~13 MB; scale
+    # rb down quadratically with f to stay under the 16 MB scoped
+    # limit (f=256 at rb=64 would need 4x).
+    rb = max(8, (64 * 128 * 128) // (f * f))
+    rb = 1 << (rb.bit_length() - 1)
     if r < rb:
         rb = max(8, 1 << ((r - 1).bit_length()))
     r_pad = -(-r // rb) * rb

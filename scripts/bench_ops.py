@@ -65,6 +65,23 @@ def main() -> int:
                       "ms": round(dt * 1e3, 2),
                       "gflops": round(flops / dt / 1e9, 1)}))
 
+    # batched CG-6 via the VMEM-resident Pallas kernel (A read once)
+    from cumf_als_tpu.ops.pallas_solve import (cg_solve_available,
+                                               solve_cg_pallas)
+    if cg_solve_available():
+        dt = bench(lambda: solve_cg_pallas(ja, jb, x0, cg_iters=6,
+                                           cg_tol=0.0))
+        flops = r * 7 * 2 * f * f
+        print(json.dumps({"op": "batched_cg6_pallas", "batch": r,
+                          "f": f, "ms": round(dt * 1e3, 2),
+                          "gflops": round(flops / dt / 1e9, 1)}))
+        jab = ja.astype(jnp.bfloat16)
+        dt = bench(lambda: solve_cg_pallas(jab, jb, x0, cg_iters=6,
+                                           cg_tol=0.0))
+        print(json.dumps({"op": "batched_cg6_pallas_bf16a", "batch": r,
+                          "f": f, "ms": round(dt * 1e3, 2),
+                          "gflops": round(flops / dt / 1e9, 1)}))
+
     # Gram einsum
     g = jnp.asarray(rng.standard_normal((r, w, f)).astype(np.float32))
     ein = jax.jit(lambda g: jnp.einsum(

@@ -155,3 +155,24 @@ def test_solve_cg_pallas_diag_variant():
                                         jnp.asarray(b), jnp.asarray(x0),
                                         diag=jnp.asarray(diag)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_vmem_sizing_under_scoped_limit():
+    """Block sizing must keep every compilable (width, f, dtype) combo
+    under the 16 MB Mosaic scoped-vmem limit (with headroom for the
+    out-block buffers the model folds into its 3x-G factor). Regression
+    for the width-240/f32 compile-time OOM that killed every CLI F-sweep
+    run: f32 G at rb 32 compiled to a 16.31 MB stack."""
+    from cumf_als_tpu.ops.tiling import make_width_grid
+    widths = set(make_width_grid(16, 1 << 18, octave_points=8))
+    widths |= set(make_width_grid(16, 1 << 18, octave_points=4))
+    for f in (128, 256):
+        for gi in (2, 4):
+            for w in sorted(widths):
+                pb = ps._p_block(w, f, gi)
+                rb = ps._row_block(w, f, gi)
+                assert w % pb == 0, (w, f, gi, pb)
+                per_row = (3 * pb * f * gi + 2 * pb * 4 + 4 * f * f
+                           + 16 * f * 4)
+                assert rb * per_row <= (13 << 20), \
+                    (w, f, gi, pb, rb, rb * per_row)
