@@ -138,10 +138,7 @@ def main(argv=None) -> int:
     t0 = seconds()
     from cumf_als_tpu.models.factory import make_model
     model = make_model(cfg, csr, csc, test)
-    kwargs = {"start_iter": start_iter} if isinstance(model, ALS) else {}
-    if start_iter and not isinstance(model, ALS):
-        print("*******warning: resume is only supported by the "
-              "single-device model; starting from iteration 0.")
+    kwargs = {"start_iter": start_iter} if start_iter else {}
     if cfg.profile_dir:
         import jax
         with jax.profiler.trace(cfg.profile_dir):

@@ -230,7 +230,8 @@ class OutOfCoreALS:
         return float(np.sqrt(np.mean(e * e)))
 
     # ---------- loop ----------
-    def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
+    def run(self, x0: np.ndarray, theta0: np.ndarray,
+            start_iter: int = 0) -> ALSResult:
         cfg = self.cfg
         f_pad = cfg.f_pad
         m, n = self.train_csr.num_rows, self.train_csr.num_cols
@@ -249,7 +250,7 @@ class OutOfCoreALS:
             print("*******out-of-core: X host-resident, theta on device, "
                   f"{self.plan_theta.n_panels} X panels streamed.")
             print("*******start iterations...")
-        for it in range(cfg.iters):
+        for it in range(start_iter, cfg.iters):
             t0 = seconds()
             self._x_phase(x_host, theta)
             tx = seconds() - t0

@@ -576,7 +576,8 @@ class ShardedALS:
         se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return x_sharded, theta, se_total
 
-    def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
+    def run(self, x0: np.ndarray, theta0: np.ndarray,
+            start_iter: int = 0) -> ALSResult:
         cfg = self.cfg
         # zero empty rows/cols (excluded from every chunk/block): their
         # factors would otherwise keep their init values and pollute test
@@ -595,7 +596,7 @@ class ShardedALS:
             print(f"*******mesh: {self.n_dev} devices over axis "
                   f"'{DATA_AXIS}'.")
             print("*******start iterations...")
-        for it in range(cfg.iters):
+        for it in range(start_iter, cfg.iters):
             t0 = seconds()
             x, theta, se = self.iteration(x, theta, device_data)
             theta.block_until_ready()

@@ -430,7 +430,8 @@ class ShardedOutOfCoreALS:
         return float(np.sqrt(se / coo.nnz))
 
     # ---------- training loop ----------
-    def run(self, x0: np.ndarray, theta0: np.ndarray) -> ALSResult:
+    def run(self, x0: np.ndarray, theta0: np.ndarray,
+            start_iter: int = 0) -> ALSResult:
         cfg = self.cfg
         theta0 = theta0 * (self.theta_nnz > 0).astype(np.float32)[:, None]
         if x0.any():  # all-zero x0 (the reference init): skip the 20 GB+
@@ -449,7 +450,7 @@ class ShardedOutOfCoreALS:
                   f"{self.n_panels} local X panels streamed per theta "
                   f"update.")
             print("*******start iterations...")
-        for it in range(cfg.iters):
+        for it in range(start_iter, cfg.iters):
             t0 = seconds()
             self._x_phase(x_host, theta)
             tx = seconds() - t0

@@ -206,3 +206,22 @@ class TestShardedOutOfCore:
         res = model.run(x0, th0)
         assert np.isfinite(res.history[-1].train_rmse)
         assert res.history[-1].train_rmse < res.history[0].train_rmse
+
+
+class TestShardedResume:
+    def test_sharded_resume_matches_full_run(self, small_problem,
+                                             tmp_path):
+        """Checkpoint at every iteration, then resume the SPMD model
+        from iteration 1's checkpoint — same final factors as the
+        uninterrupted run (CLI --resume now covers all model classes)."""
+        train, test = small_problem
+        cfg = _cfg(train, iters=3, solver="cholesky",
+                   checkpoint_dir=str(tmp_path), checkpoint_every=1)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=0)
+        full = ShardedALS(cfg, train, None, test).run(x0, th0)
+        from cumf_als_tpu.utils.checkpoint import load_checkpoint
+        x1, th1, it = load_checkpoint(str(tmp_path), 1, cfg=cfg)
+        rest = ShardedALS(cfg, train, None, test).run(
+            x1, th1, start_iter=it + 1)
+        np.testing.assert_allclose(rest.x, full.x, rtol=1e-5, atol=1e-6)
+        assert rest.history[-1].iteration == full.history[-1].iteration
