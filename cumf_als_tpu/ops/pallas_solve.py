@@ -34,37 +34,53 @@ def _p_block(width: int, f: int = 128, g_itemsize: int = 4) -> int:
     are q*2^k for q in {1,3,5,7} (ops/tiling.make_width_grid).
 
     The cap is the widest tile whose minimum 8-row block still fits
-    the measured ~3x-G VMEM footprint (double-buffered block + Mosaic's
-    staging copy) under the 16 MB scoped-vmem limit — a width-240/f32
-    chunk at rb 32 compiled to a 16.31 MB stack and OOM'd. Widths are
-    q*2^k (k >= 4), so a multiple-of-16 divisor always exists."""
-    room = (12 << 20) // 8 - 4 * f * f - 64 * f
-    cap = max(16, room // (3 * f * g_itemsize + 8))
+    the empirical VMEM footprint (see _per_row_bytes) under the 16 MB
+    scoped-vmem limit. Widths are q*2^k (k >= 4), so a multiple-of-16
+    divisor always exists."""
+    room = _VMEM_BUDGET // 8 - 16 * f * f - 32 * f
+    cap = max(16, (5 * room) // (29 * f + 4 * f * g_itemsize))
     if width <= cap:
         return width
-    for cand in (1024, 896, 768, 640, 512, 448, 384, 320, 256, 224,
-                 192, 160, 128, 96, 64, 48, 32, 16):
+    for cand in (1280, 1152, 1024, 960, 896, 768, 640, 512, 448, 384,
+                 320, 256, 224, 192, 160, 128, 96, 64, 48, 32, 16):
         if cand <= cap and width % cand == 0:
             return cand
     return width
 
 
-def _row_block(width: int, f: int, g_itemsize: int = 4) -> int:
-    """Rows per grid step, bounding the kernel's VMEM footprint.
+# Scoped-vmem budget the block sizing targets; the hardware/compiler
+# limit is 16 MB and _per_row_bytes is an exact fit of three measured
+# points, so ~6 % slack suffices.
+_VMEM_BUDGET = 15 << 20
 
-    Per-row model (empirical, v5e): 3x the G block (Mosaic double-
-    buffers the input block and stages a copy for the batched
-    dot_general) + double-buffered vals + the f32 A scratch + CG state
-    and out blocks. Measured footprint at width 240/f32/rb 32 was
-    16.31 MB (~510 KB/row), matching the 3x-G model within 15 %.
-    At least 8 — the 2-D operand blocks need 8-sublane tiles."""
+
+def _per_row_bytes(pb: int, f: int, g_itemsize: int) -> int:
+    """Empirical per-row VMEM footprint of the fused kernel (v5e).
+
+    Calibrated on three measured compile-time OOM stack sizes of earlier
+    sizings: width 240/f32/rb 32 -> 16.31 MB (~510 KB/row), width 16/
+    bf16/rb 64 -> 16.42 MB (~257 KB/row), width 1920/bf16/rb 8 ->
+    16.08 MB (~2.01 MB/row). All three solve to
+
+        bytes/row = (5.8 + 0.8*itemsize) * pb * f  +  ~248 KB
+
+    i.e. ~1.5 f32 copies of the G block (the vals*G broadcast temporary
+    for the b accumulation + dot staging) + ~0.8 double-buffered input
+    blocks in storage dtype + a *constant* ~4 A-sized f32 buffers (A
+    scratch, regularized copy, CG matvec broadcast temp, out staging).
+    Earlier models missed the dtype-independent f32 copies and the
+    constant term, which is why wide-f32, narrow-bf16 AND wide-bf16
+    chunks each blew the 16 MB limit in different ways."""
+    return (29 * pb * f) // 5 + (4 * pb * f * g_itemsize) // 5 \
+        + 16 * f * f + 32 * f
+
+
+def _row_block(width: int, f: int, g_itemsize: int = 4) -> int:
+    """Rows per grid step, bounding the kernel's VMEM footprint via the
+    empirical _per_row_bytes model. At least 8 — the 2-D operand blocks
+    need 8-sublane tiles."""
     pb = _p_block(width, f, g_itemsize)
-    per_row = (3 * pb * f * g_itemsize   # G block x (2 buffers + copy)
-               + 2 * pb * 4              # vals block, double-buffered
-               + 4 * f * f               # A scratch (f32)
-               + 16 * f * 4)             # CG state + b/out/x0 blocks
-    budget = 12 << 20
-    rb = max(8, budget // per_row)
+    rb = max(8, _VMEM_BUDGET // _per_row_bytes(pb, f, g_itemsize))
     # power-of-two, <= 256, and must divide the (pow2-or-q*2^k) row count
     rb = min(256, 1 << (rb.bit_length() - 1))
     return max(8, rb)

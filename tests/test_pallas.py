@@ -172,7 +172,18 @@ def test_kernel_vmem_sizing_under_scoped_limit():
                 pb = ps._p_block(w, f, gi)
                 rb = ps._row_block(w, f, gi)
                 assert w % pb == 0, (w, f, gi, pb)
-                per_row = (3 * pb * f * gi + 2 * pb * 4 + 4 * f * f
-                           + 16 * f * 4)
-                assert rb * per_row <= (13 << 20), \
-                    (w, f, gi, pb, rb, rb * per_row)
+                assert rb * ps._per_row_bytes(pb, f, gi) <= \
+                    ps._VMEM_BUDGET, (w, f, gi, pb, rb)
+                # the empirical exact fit must stay under the 16 MB
+                # hardware scoped-vmem limit with slack
+                fit = (5.8 + 0.8 * gi) * pb * f + 254 * 1024 * \
+                    (f * f) / (128 * 128)
+                assert rb * fit <= 15.2 * 2 ** 20, (w, f, gi, pb, rb)
+    # the three measured OOM shapes must now fit with margin
+    assert ps._row_block(240, 128, 4) <= 16
+    assert ps._row_block(16, 128, 2) <= 32
+    assert ps._p_block(1920, 128, 2) * ps._row_block(1920, 128, 2) \
+        <= 960 * 8
+    # and the hot Netflix theta shape keeps its proven block size
+    assert ps._p_block(224, 128, 2) == 224
+    assert ps._row_block(224, 128, 2) == 32
