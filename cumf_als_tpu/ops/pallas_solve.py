@@ -41,11 +41,31 @@ def _p_block(width: int, f: int = 128, g_itemsize: int = 4) -> int:
     cap = max(16, (5 * room) // (29 * f + 4 * f * g_itemsize))
     if width <= cap:
         return width
-    for cand in (1280, 1152, 1024, 960, 896, 768, 640, 512, 448, 384,
-                 320, 256, 224, 192, 160, 128, 96, 64, 48, 32, 16):
+    # sub-width tiles must be lane-legal in the (rb, pb) vals block:
+    # multiples of 128 only (a full-width tile is legal at any width)
+    for cand in (1280, 1152, 1024, 896, 768, 640, 512, 384, 256, 128):
         if cand <= cap and width % cand == 0:
             return cand
+    # no legal divisor: full width — the kernel wrappers pad the
+    # contraction axis to a multiple of 128 when this would not fit
+    # the VMEM budget even at the 8-row minimum block (_maybe_pad_p)
     return width
+
+
+def _maybe_pad_p(g, vals, f: int):
+    """Pad the contraction axis to the next multiple of 128 when the
+    only legal tiling (full width) cannot fit the VMEM budget at the
+    minimum row block — e.g. width 960 at f=256/f32. Zero columns are
+    inert in A, b and r^2."""
+    p = g.shape[1]
+    gi = jnp.dtype(g.dtype).itemsize
+    pb = _p_block(p, f, gi)
+    if pb == p and 8 * _per_row_bytes(pb, f, gi) > _VMEM_BUDGET \
+            and p % 128:
+        p_new = -(-p // 128) * 128
+        g = jnp.pad(g, ((0, 0), (0, p_new - p), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, p_new - p)))
+    return g, vals
 
 
 # Scoped-vmem budget the block sizing targets; the hardware/compiler
@@ -185,6 +205,7 @@ def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
     """Solve one bucket chunk: G (R, P, f) gathered factors, vals (R, P),
     nnz (R,), x0 (R, f) warm start. Returns (x (R, f), se (R, 1)) where
     se holds the per-row training squared error of the solved factors."""
+    g, vals = _maybe_pad_p(g, vals, g.shape[2])
     r, p, f = g.shape
     gi = jnp.dtype(g.dtype).itemsize
     pb = _p_block(p, f, gi)
@@ -265,6 +286,7 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
     g = jnp.take(table_ext, cols, axis=0)
     if factor_dtype == "bf16":
         g = g.astype(jnp.bfloat16)
+    g, vals = _maybe_pad_p(g, vals, g.shape[2])
     r, p, f = g.shape
     gi = jnp.dtype(g.dtype).itemsize
     pb = _p_block(p, f, gi)

@@ -170,8 +170,16 @@ def test_kernel_vmem_sizing_under_scoped_limit():
         for gi in (2, 4):
             for w in sorted(widths):
                 pb = ps._p_block(w, f, gi)
-                rb = ps._row_block(w, f, gi)
                 assert w % pb == 0, (w, f, gi, pb)
+                # lane-legal: full width or a multiple of 128
+                assert pb == w or pb % 128 == 0, (w, f, gi, pb)
+                if pb == w and w % 128 and \
+                        8 * ps._per_row_bytes(pb, f, gi) > \
+                        ps._VMEM_BUDGET:
+                    # wrapper pads the contraction axis (_maybe_pad_p)
+                    w = -(-w // 128) * 128
+                    pb = ps._p_block(w, f, gi)
+                rb = ps._row_block(w, f, gi)
                 assert rb * ps._per_row_bytes(pb, f, gi) <= \
                     ps._VMEM_BUDGET, (w, f, gi, pb, rb)
                 # the empirical exact fit must stay under the 16 MB
@@ -179,11 +187,10 @@ def test_kernel_vmem_sizing_under_scoped_limit():
                 fit = (5.8 + 0.8 * gi) * pb * f + 254 * 1024 * \
                     (f * f) / (128 * 128)
                 assert rb * fit <= 15.2 * 2 ** 20, (w, f, gi, pb, rb)
-    # the three measured OOM shapes must now fit with margin
+    # the measured OOM shapes must now fit with margin
     assert ps._row_block(240, 128, 4) <= 16
     assert ps._row_block(16, 128, 2) <= 32
-    assert ps._p_block(1920, 128, 2) * ps._row_block(1920, 128, 2) \
-        <= 960 * 8
+    assert ps._p_block(1920, 128, 2) <= 640
     # and the hot Netflix theta shape keeps its proven block size
     assert ps._p_block(224, 128, 2) == 224
     assert ps._row_block(224, 128, 2) == 32
