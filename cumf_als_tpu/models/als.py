@@ -20,6 +20,7 @@ import numpy as np
 
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
+from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelPlan,
@@ -641,7 +642,8 @@ class ALS:
             # tt = theta Gram feeding the X update (reference naming,
             # als.cu:800-807); dumped when save_model is on.
             self._save_tag = f"tt_iter{it:03d}" if cfg.save_model else None
-            x, _ = self._update_phase(theta, x, self.plan_x, False)
+            x, _ = call_with_vmem_backoff(
+                self._update_phase, theta, x, self.plan_x, False)
             if cfg.debug_timing:
                 # exact per-phase split costs a device sync at the phase
                 # boundary; without it the theta phase's head can queue
@@ -659,8 +661,8 @@ class ALS:
             t0 = seconds()
             self._save_tag = f"xx_iter{it:03d}" if cfg.save_model else None
             want_fused = cfg.train_rmse_method == "fused"
-            theta, se_acc = self._update_phase(
-                x, theta, self.plan_theta, want_fused)
+            theta, se_acc = call_with_vmem_backoff(
+                self._update_phase, x, theta, self.plan_theta, want_fused)
             theta.block_until_ready()
             tth = seconds() - t0
             if cfg.debug_timing:

@@ -106,6 +106,57 @@ def _row_block(width: int, f: int, g_itemsize: int = 4) -> int:
     return max(8, rb)
 
 
+def _cg_per_row_bytes(f: int, a_itemsize: int) -> int:
+    """Empirical per-row VMEM footprint of the standalone CG kernel
+    (v5e): the double-buffered storage-dtype A block plus ~2.2 A-sized
+    f32 buffers (the f32 cast and the matvec broadcast temporary).
+    Pinned by two measured points at f=128: bf16 A at rb=64 runs at
+    ~13 MB scoped (proven in production Netflix runs); f32 A at rb=64
+    OOMs at 17.40 MB. Both solve to
+
+        bytes/row = (2*itemsize + 8.7) * f * f  (+ CG vectors, ~64*f)
+    """
+    return ((20 * a_itemsize + 87) * f * f) // 10 + 64 * f
+
+
+def _cg_row_block(f: int, a_itemsize: int) -> int:
+    rb = max(8, _VMEM_BUDGET // _cg_per_row_bytes(f, a_itemsize))
+    return 1 << (rb.bit_length() - 1)
+
+
+def vmem_oom_backoff(exc: BaseException) -> bool:
+    """Recognize a compile-time Mosaic scoped-VMEM OOM and shrink the
+    sizing budget all the kernel block models target. The models are
+    empirical fits of measured footprints; on a toolchain where a fit
+    is off, this turns a fatal mid-run crash into a recompile with
+    smaller blocks. Returns True when the budget was lowered — the
+    caller must retry the failed dispatch (jit caches are cleared here
+    so re-tracing picks the new blocks up). Returns False for any other
+    error, or once the budget floor is reached."""
+    global _VMEM_BUDGET
+    msg = str(exc)
+    if "vmem" not in msg.lower() or "allocat" not in msg.lower():
+        return False
+    if _VMEM_BUDGET <= (9 << 20):
+        return False
+    _VMEM_BUDGET -= (2 << 20)
+    jax.clear_caches()
+    return True
+
+
+def call_with_vmem_backoff(fn, *args, **kwargs):
+    """Run fn, retrying on compile-time scoped-VMEM OOM with smaller
+    kernel blocks (see vmem_oom_backoff). Used by the model run loops
+    around phase dispatches, where a retry is safe: the OOM is raised
+    at compile time, before any donated buffer is consumed."""
+    while True:
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — filtered by message
+            if not vmem_oom_backoff(e):
+                raise
+
+
 def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
              debug: bool = False):
     """The reference CG iteration (cg.cu:36-231) on the VPU, batched over
@@ -381,12 +432,7 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     by an XLA `a + diag*I` before the solve.
     """
     r, f, _ = a.shape
-    # VMEM per block: the double-buffered storage-dtype A block + its
-    # f32 cast + CG state. rb=64 at f=128/f32 measures ~13 MB; scale
-    # rb down quadratically with f to stay under the 16 MB scoped
-    # limit (f=256 at rb=64 would need 4x).
-    rb = max(8, (64 * 128 * 128) // (f * f))
-    rb = 1 << (rb.bit_length() - 1)
+    rb = _cg_row_block(f, jnp.dtype(a.dtype).itemsize)
     if r < rb:
         rb = max(8, 1 << ((r - 1).bit_length()))
     r_pad = -(-r // rb) * rb

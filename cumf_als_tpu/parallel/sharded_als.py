@@ -29,6 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.models.als import ALSResult, IterationMetrics
 from cumf_als_tpu.ops.gram import _PRECISIONS
+from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cumf_als_tpu.parallel.plan import (build_reduce_plan,
@@ -358,11 +359,14 @@ class ShardedALS:
             fn = self._x_panel_group_fn(shapes_key) if jitted \
                 else self._x_panel_group_sm(shapes_key)
             p_start = jnp.asarray(panel * s, jnp.int32)
-            a_buf, b_buf = fn(theta_pad, p_start, a_buf, b_buf,
-                              tuple(steps_data[i] for i in idxs))
+            args = (theta_pad, p_start, a_buf, b_buf,
+                    tuple(steps_data[i] for i in idxs))
+            a_buf, b_buf = call_with_vmem_backoff(fn, *args) if jitted \
+                else fn(*args)
         fn = self._x_panel_solve_fn() if jitted \
             else self._x_panel_solve_sm()
-        return fn(a_buf, b_buf, x_sharded, nnz_loc)
+        args = (a_buf, b_buf, x_sharded, nnz_loc)
+        return call_with_vmem_backoff(fn, *args) if jitted else fn(*args)
 
     def _theta_block_sm(self, width: int, c: int):
         key = ("theta_sm", width, c, self.cfg.solver)
@@ -567,11 +571,13 @@ class ShardedALS:
         else:
             for arrs, ch in zip(chunk_data, self.row_plan.chunks):
                 fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
-                x_sharded = fn(theta, x_sharded, *arrs)
+                x_sharded = call_with_vmem_backoff(
+                    fn, theta, x_sharded, *arrs)
         se_parts = []
         for arrs, bl in zip(block_data, self.reduce_plan.blocks):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
-            theta, se = fn(x_sharded, theta, *arrs)
+            theta, se = call_with_vmem_backoff(
+                fn, x_sharded, theta, *arrs)
             se_parts.append(se)
         se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return x_sharded, theta, se_total

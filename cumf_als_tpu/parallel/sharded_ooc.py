@@ -43,6 +43,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.models.als import ALSResult, IterationMetrics
 from cumf_als_tpu.ops.gram import _PRECISIONS
+from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import build_panel_plan
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -218,11 +219,12 @@ class ShardedOutOfCoreALS:
                               x_host, safe_rows[..., None], axis=1),
                           0.0).astype(np.float32)
             fn = self._x_solve_fn(ch.width, rows.shape[1])
-            solved = fn(theta,
-                        jax.device_put(x0, self._shard),
-                        jax.device_put(nnz, self._shard),
-                        jax.device_put(cols, self._shard),
-                        jax.device_put(vals, self._shard))
+            solved = call_with_vmem_backoff(
+                fn, theta,
+                jax.device_put(x0, self._shard),
+                jax.device_put(nnz, self._shard),
+                jax.device_put(cols, self._shard),
+                jax.device_put(vals, self._shard))
             pending.append((rows, nnz, solved))
             if len(pending) >= 2:
                 self._drain_one(x_host, pending)
@@ -357,13 +359,15 @@ class ShardedOutOfCoreALS:
                 cur_panel = st.panel
             rows, _nnz, cols, vals = st.materialize()
             fn = self._accum_fn(st.width, rows.shape[1])
-            a_buf, b_buf = fn(a_buf, b_buf, xp,
-                              jax.device_put(rows, self._shard),
-                              jax.device_put(cols, self._shard),
-                              jax.device_put(vals, self._shard))
+            a_buf, b_buf = call_with_vmem_backoff(
+                fn, a_buf, b_buf, xp,
+                jax.device_put(rows, self._shard),
+                jax.device_put(cols, self._shard),
+                jax.device_put(vals, self._shard))
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
-        th_new, se_term = self._reduce_solve_fn()(
+        th_new, se_term = call_with_vmem_backoff(
+            self._reduce_solve_fn(),
             a_buf, b_buf, jax.device_put(theta_pad, self._repl),
             self._theta_nnz_pad)
         se = float(se_term) + self._sum_r2()

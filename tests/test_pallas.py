@@ -194,3 +194,56 @@ def test_kernel_vmem_sizing_under_scoped_limit():
     # and the hot Netflix theta shape keeps its proven block size
     assert ps._p_block(224, 128, 2) == 224
     assert ps._row_block(224, 128, 2) == 32
+
+
+def test_cg_solver_vmem_sizing():
+    """solve_cg_pallas block sizing, pinned by two hardware-measured
+    points at f=128: bf16 A at rb=64 runs (~13 MB scoped, the production
+    Netflix configuration) while f32 A at rb=64 OOM'd at 17.40 MB — the
+    f32 case must therefore size down, the bf16 case must not."""
+    assert ps._cg_row_block(128, 2) == 64
+    assert ps._cg_row_block(128, 4) <= 32
+    for f in (128, 256):
+        for it in (2, 4):
+            rb = ps._cg_row_block(f, it)
+            assert rb >= 8
+            assert rb * ps._cg_per_row_bytes(f, it) <= ps._VMEM_BUDGET
+            # the measured-fit footprint stays under the 16 MB limit
+            fit = (2 * it + 8.7) * f * f
+            assert rb * fit <= 15.5 * 2 ** 20, (f, it, rb)
+
+
+def test_vmem_oom_backoff():
+    """The runtime backoff recognizes only Mosaic scoped-VMEM compile
+    errors, shrinks the sizing budget monotonically down to a floor,
+    and leaves any other exception alone."""
+    start = ps._VMEM_BUDGET
+    try:
+        oom = RuntimeError(
+            "INTERNAL: ... Ran out of memory in memory space vmem while "
+            "allocating on stack for %fused_gram_cg ... Scoped "
+            "allocation with size 16.42M and limit 16.00M ...")
+        assert ps.vmem_oom_backoff(oom)
+        assert ps._VMEM_BUDGET == start - (2 << 20)
+        assert not ps.vmem_oom_backoff(ValueError("unrelated"))
+        assert ps._VMEM_BUDGET == start - (2 << 20)
+        # drains to the floor, then reports unrecoverable
+        while ps.vmem_oom_backoff(oom):
+            pass
+        assert ps._VMEM_BUDGET >= (9 << 20)
+
+        # call_with_vmem_backoff retries until the call stops raising
+        calls = []
+
+        def flaky():
+            calls.append(ps._VMEM_BUDGET)
+            if len(calls) < 2:
+                raise RuntimeError("Ran out of memory in memory space "
+                                   "vmem while allocating on stack")
+            return "ok"
+
+        ps._VMEM_BUDGET = start
+        assert ps.call_with_vmem_backoff(flaky) == "ok"
+        assert len(calls) == 2 and calls[1] < calls[0]
+    finally:
+        ps._VMEM_BUDGET = start
