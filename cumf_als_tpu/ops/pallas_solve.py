@@ -158,16 +158,27 @@ def call_with_vmem_backoff(fn, *args, **kwargs):
 
 
 def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
-             debug: bool = False):
+             debug: bool = False, matvec_impl: str = "vpu"):
     """The reference CG iteration (cg.cu:36-231) on the VPU, batched over
     the rows of a VMEM-resident A (rb, f, f). Warm start from x, fixed
     iteration count, per-system early exit at rsnew < cg_tol applied
     *after* x took that iteration's alpha — exactly ops/solve.solve_cg,
     with masks carried as f32 (1-D bool loop carries trip a Mosaic
-    layout bug on v5e)."""
+    layout bug on v5e).
 
-    def matvec(p):
-        return jnp.sum(a * p[:, None, :], axis=-1)
+    matvec_impl: "vpu" broadcasts A against p and lane-reduces on the
+    VPU (the measured-best default); "mxu" issues a batched dot_general
+    so the per-system matvec rides the (otherwise idle during CG)
+    systolic array — A/B-able via scripts/bench_cg_matvec.py."""
+
+    if matvec_impl == "mxu":
+        def matvec(p):
+            return jax.lax.dot_general(
+                a, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+    else:
+        def matvec(p):
+            return jnp.sum(a * p[:, None, :], axis=-1)
 
     r = b - matvec(x)
     p = r
@@ -207,7 +218,7 @@ def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
 def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
             b_scr, r2_scr,
             *, lam: float, cg_iters: int, cg_tol: float, n_p: int,
-            debug: bool = False):
+            debug: bool = False, matvec_impl: str = "vpu"):
     pb = pl.program_id(1)
     f = out_ref.shape[-1]
 
@@ -235,7 +246,8 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         a = a_scr[...] + diag[:, None, None] * eye[None]
         b = b_scr[...]
         x = _cg_loop(a, b, x0_ref[...].astype(jnp.float32),
-                     cg_iters, cg_tol, debug=debug)
+                     cg_iters, cg_tol, debug=debug,
+                     matvec_impl=matvec_impl)
         live = (nnz > 0).astype(jnp.float32)[:, None]
         x = x * live
         out_ref[...] = x
@@ -249,10 +261,12 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("lam", "cg_iters", "cg_tol", "debug"))
+                   static_argnames=("lam", "cg_iters", "cg_tol", "debug",
+                                    "matvec_impl"))
 def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
                   x0: jnp.ndarray, lam: float, cg_iters: int = 6,
-                  cg_tol: float = 1e-4, debug: bool = False):
+                  cg_tol: float = 1e-4, debug: bool = False,
+                  matvec_impl: str = "vpu"):
     """Solve one bucket chunk: G (R, P, f) gathered factors, vals (R, P),
     nnz (R,), x0 (R, f) warm start. Returns (x (R, f), se (R, 1)) where
     se holds the per-row training squared error of the solved factors."""
@@ -269,7 +283,7 @@ def fused_gram_cg(g: jnp.ndarray, vals: jnp.ndarray, nnz: jnp.ndarray,
     kernel = functools.partial(_kernel, lam=float(lam),
                                cg_iters=int(cg_iters),
                                cg_tol=float(cg_tol), n_p=n_p,
-                               debug=debug)
+                               debug=debug, matvec_impl=matvec_impl)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -387,15 +401,16 @@ def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
 
 
 def _cg_solve_kernel(a_ref, b_ref, x0_ref, out_ref, *, cg_iters: int,
-                     cg_tol: float):
+                     cg_tol: float, matvec_impl: str = "vpu"):
     a = a_ref[...].astype(jnp.float32)
     out_ref[...] = _cg_loop(a, b_ref[...],
                             x0_ref[...].astype(jnp.float32),
-                            cg_iters, cg_tol)
+                            cg_iters, cg_tol, matvec_impl=matvec_impl)
 
 
 def _cg_solve_reg_kernel(a_ref, diag_ref, b_ref, x0_ref, out_ref, *,
-                         cg_iters: int, cg_tol: float):
+                         cg_iters: int, cg_tol: float,
+                         matvec_impl: str = "vpu"):
     """Variant taking the raw (un-regularized) Gram plus the per-system
     Tikhonov diagonal: the diag*I add happens on the f32 VMEM copy, so
     a bf16 A (CUMF_TT_FP16 analog) never has to be upcast in HBM."""
@@ -407,13 +422,15 @@ def _cg_solve_reg_kernel(a_ref, diag_ref, b_ref, x0_ref, out_ref, *,
         diag_ref[...][:, 0][:, None, None] * eye[None]
     out_ref[...] = _cg_loop(a, b_ref[...],
                             x0_ref[...].astype(jnp.float32),
-                            cg_iters, cg_tol)
+                            cg_iters, cg_tol, matvec_impl=matvec_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters", "cg_tol"))
+@functools.partial(jax.jit, static_argnames=("cg_iters", "cg_tol",
+                                             "matvec_impl"))
 def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                     cg_iters: int = 6, cg_tol: float = 1e-4,
-                    diag: Optional[jnp.ndarray] = None):
+                    diag: Optional[jnp.ndarray] = None,
+                    matvec_impl: str = "vpu"):
     """Batched CG with A staged through VMEM exactly once.
 
     The XLA batched CG (ops/solve.solve_cg) re-reads A (f*f*4 B/system)
@@ -451,13 +468,15 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     if diag is None:
         kernel = functools.partial(_cg_solve_kernel,
                                    cg_iters=int(cg_iters),
-                                   cg_tol=float(cg_tol))
+                                   cg_tol=float(cg_tol),
+                                   matvec_impl=matvec_impl)
         args = (a, b, x0)
         in_specs = [a_spec, v_spec, v_spec]
     else:
         kernel = functools.partial(_cg_solve_reg_kernel,
                                    cg_iters=int(cg_iters),
-                                   cg_tol=float(cg_tol))
+                                   cg_tol=float(cg_tol),
+                                   matvec_impl=matvec_impl)
         args = (a, diag.astype(jnp.float32).reshape(r_pad, 1), b, x0)
         in_specs = [a_spec,
                     pl.BlockSpec((rb, 1), lambda i: (i, 0),

@@ -58,6 +58,33 @@ def main():
     out["gram_only_ns_per_nnz"] = round(dt0 / (r * p) * 1e9, 3)
     out["cg6_ns_per_nnz"] = round((dt - dt0) / (r * p) * 1e9, 3)
     out["cg6_ns_per_row"] = round((dt - dt0) / r * 1e9, 1)
+
+    # MXU batched-matvec variant (idle systolic array during CG)
+    try:
+        dtm = bench(lambda: ps.fused_gram_cg(g, vals, nnz, x0, 0.05,
+                                             matvec_impl="mxu"))
+        out["cg6_mxu_ns_per_row"] = round((dtm - dt0) / r * 1e9, 1)
+        ref = np.asarray(ps.fused_gram_cg(g, vals, nnz, x0, 0.05)[0])
+        got = np.asarray(ps.fused_gram_cg(g, vals, nnz, x0, 0.05,
+                                          matvec_impl="mxu")[0])
+        out["mxu_max_abs_diff"] = float(np.max(np.abs(ref - got)))
+    except Exception as e:  # noqa: BLE001 — record unsupported lowering
+        out["cg6_mxu_error"] = str(e).split("\n")[0][:160]
+
+    # standalone CG solver A/B at panel-solve shapes
+    rs, fs = 8192, 128
+    gs = rng.standard_normal((rs, 16, fs)).astype(np.float32)
+    a_s = jnp.asarray(np.einsum("rpf,rpg->rfg", gs, gs) +
+                      np.eye(fs, dtype=np.float32) * 20.0)
+    b_s = jnp.asarray(rng.standard_normal((rs, fs)).astype(np.float32))
+    z = jnp.zeros((rs, fs), jnp.float32)
+    for impl in ("vpu", "mxu"):
+        try:
+            d = bench(lambda impl=impl: ps.solve_cg_pallas(
+                a_s, b_s, z, matvec_impl=impl))
+            out[f"solve_cg_{impl}_ns_per_row"] = round(d / rs * 1e9, 1)
+        except Exception as e:  # noqa: BLE001
+            out[f"solve_cg_{impl}_error"] = str(e).split("\n")[0][:160]
     print(json.dumps(out), flush=True)
 
 

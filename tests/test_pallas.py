@@ -247,3 +247,29 @@ def test_vmem_oom_backoff():
         assert len(calls) == 2 and calls[1] < calls[0]
     finally:
         ps._VMEM_BUDGET = start
+
+
+def test_cg_matvec_impl_parity():
+    """The MXU batched-matvec CG variant must produce the same iterates
+    as the VPU lane-reduction default (same math, different unit)."""
+    rng = np.random.RandomState(3)
+    g = jnp.asarray(rng.standard_normal((8, 16, 128)).astype(np.float32))
+    vals = jnp.asarray(rng.uniform(1, 5, (8, 16)).astype(np.float32))
+    nnz = jnp.asarray(rng.randint(1, 16, 8).astype(np.int32))
+    x0 = jnp.zeros((8, 128), jnp.float32)
+    ref, se_ref = ps.fused_gram_cg(g, vals, nnz, x0, 0.05)
+    got, se_got = ps.fused_gram_cg(g, vals, nnz, x0, 0.05,
+                                   matvec_impl="mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(se_got), np.asarray(se_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    a = jnp.asarray(np.einsum("rpf,rpg->rfg", np.asarray(g),
+                              np.asarray(g)) +
+                    np.eye(128, dtype=np.float32) * 5.0)
+    b = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    z = jnp.zeros((8, 128), jnp.float32)
+    r1 = np.asarray(ps.solve_cg_pallas(a, b, z))
+    r2 = np.asarray(ps.solve_cg_pallas(a, b, z, matvec_impl="mxu"))
+    np.testing.assert_allclose(r2, r1, rtol=2e-5, atol=2e-5)
