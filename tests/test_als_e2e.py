@@ -174,3 +174,38 @@ class TestShippedConfiguration:
         # reference's half-precision accuracy envelope
         assert rbf.history[-1].test_rmse == pytest.approx(
             r32.history[-1].test_rmse, abs=2e-2)
+
+
+class TestVmemBackoffInRunLoop:
+    def test_oom_on_first_phase_dispatch_retries_and_matches(
+            self, medium_problem, monkeypatch):
+        """A compile-time scoped-VMEM OOM raised from the first phase
+        dispatch must shrink the kernel sizing budget and retry, yielding
+        the same trajectory as an undisturbed run (the OOM fires before
+        any donated buffer is consumed)."""
+        import cumf_als_tpu.ops.pallas_solve as ps
+        train, test = medium_problem
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16, seed=2)
+        ref = do_als(train, None, test, th0, x0, _cfg(train, iters=2))
+
+        budget0 = ps._VMEM_BUDGET
+        orig = ALS._update_phase
+        state = {"raised": False}
+
+        def flaky(self, *a, **kw):
+            if not state["raised"]:
+                state["raised"] = True
+                raise RuntimeError(
+                    "INTERNAL: Ran out of memory in memory space vmem "
+                    "while allocating on stack for %fused_gram_cg")
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(ALS, "_update_phase", flaky)
+        try:
+            res = do_als(train, None, test, th0, x0, _cfg(train, iters=2))
+        finally:
+            ps._VMEM_BUDGET = budget0
+        assert state["raised"]
+        for a, b in zip(ref.history, res.history):
+            assert a.train_rmse == pytest.approx(b.train_rmse, rel=1e-6)
+            assert a.test_rmse == pytest.approx(b.test_rmse, rel=1e-6)
