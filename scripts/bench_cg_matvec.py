@@ -23,15 +23,21 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def bench(fn, *a, n=20):
-    o = fn(*a)
+def sync(o):
+    """Force execution by fetching a value — on the tunneled device
+    backend block_until_ready() can return before the computation
+    actually runs (measured: µs-scale 'times' for ms-scale kernels)."""
     o = o[0] if isinstance(o, tuple) else o
-    o.block_until_ready()
+    import jax.numpy as jnp
+    return float(jnp.sum(o[..., :1, :1] if o.ndim > 1 else o[:1]))
+
+
+def bench(fn, *a, n=20):
+    sync(fn(*a))
     t0 = time.monotonic()
     for _ in range(n):
         o = fn(*a)
-    o = o[0] if isinstance(o, tuple) else o
-    o.block_until_ready()
+    sync(o)
     return (time.monotonic() - t0) / n
 
 
