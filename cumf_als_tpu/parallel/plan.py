@@ -381,6 +381,15 @@ class LazyAlignedPanelChunk:
         return rows, nnz, cols, vals
 
 
+@dataclasses.dataclass
+class AlignedSteps:
+    """A cacheable bundle of align_panel_plans output: the lockstep SPMD
+    panel schedule plus its panel count (utils/plan_cache.py serializes
+    this for the sharded paths)."""
+    steps: List[AlignedPanelChunk]
+    n_panels: int
+
+
 def align_panel_plans(plans, sentinel_row: int, panel_size: int):
     """Merge per-device PanelPlans into a lockstep schedule: for each
     panel index, chunks grouped by shape and padded with dummy chunks so

@@ -35,7 +35,7 @@ from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cumf_als_tpu.parallel.plan import (build_reduce_plan,
                                         build_sharded_row_plan,
                                         build_sharded_x_panel_steps)
-from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
+from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds
 
 
@@ -61,17 +61,29 @@ class ShardedALS:
                  test_coo: Optional[COOMatrix] = None,
                  n_devices: Optional[int] = None,
                  block_rows: int = 1 << 14):
+        from cumf_als_tpu.utils.plan_cache import (cached_build,
+                                                   cached_transpose)
         self.cfg = cfg
         self.mesh = make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
         self.train_csr = train_csr
-        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.train_csc = train_csc or cached_transpose(
+            cfg.plan_cache_dir, train_csr)
         self.test_coo = test_coo
-        self.row_plan = build_sharded_row_plan(
-            train_csr, self.n_dev, cfg.min_bucket_width,
-            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows)
-        self.reduce_plan = build_reduce_plan(
-            self.train_csc, self.row_plan, block_rows=block_rows)
+        row_params = dict(n_dev=self.n_dev, min_w=cfg.min_bucket_width,
+                          max_w=cfg.max_bucket_width,
+                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_rows=cfg.chunk_rows)
+        self.row_plan = cached_build(
+            cfg.plan_cache_dir, "sh_row", train_csr, row_params,
+            lambda: build_sharded_row_plan(
+                train_csr, self.n_dev, cfg.min_bucket_width,
+                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows))
+        self.reduce_plan = cached_build(
+            cfg.plan_cache_dir, "sh_reduce", train_csr,
+            dict(row_params, block_rows=block_rows),
+            lambda: build_reduce_plan(
+                self.train_csc, self.row_plan, block_rows=block_rows))
         self._shard = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl = NamedSharding(self.mesh, P())
         # Panelized X phase (the single-device PanelPlan optimization
@@ -93,10 +105,18 @@ class ShardedALS:
             self.x_panel_size = ps
             self._x_solve_batch = batch
             self._x_m_pad = m_pad
-            self.x_steps, self.x_n_panels = build_sharded_x_panel_steps(
-                train_csr, self.row_plan, ps, cfg.min_bucket_width,
-                cfg.chunk_nnz, cfg.chunk_rows, cfg.split_width,
-                cfg.octave_points)
+            from cumf_als_tpu.parallel.plan import AlignedSteps
+            xp_params = dict(row_params, panel=ps,
+                             split_w=cfg.split_width,
+                             octave=cfg.octave_points)
+            aligned = cached_build(
+                cfg.plan_cache_dir, "sh_xpanel", train_csr, xp_params,
+                lambda: AlignedSteps(*build_sharded_x_panel_steps(
+                    train_csr, self.row_plan, ps, cfg.min_bucket_width,
+                    cfg.chunk_nnz, cfg.chunk_rows, cfg.split_width,
+                    cfg.octave_points)))
+            self.x_steps, self.x_n_panels = (aligned.steps,
+                                             aligned.n_panels)
             row_nnz = np.diff(np.asarray(train_csr.indptr))
             nnz_loc = np.zeros((self.n_dev, m_pad), np.int32)
             for d in range(self.n_dev):

@@ -47,10 +47,10 @@ from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import build_panel_plan
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
-from cumf_als_tpu.parallel.plan import (ShardedRowPlan,
+from cumf_als_tpu.parallel.plan import (AlignedSteps, ShardedRowPlan,
                                         align_panel_plans,
                                         build_sharded_row_plan)
-from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
+from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds
 
 
@@ -66,11 +66,14 @@ class ShardedOutOfCoreALS:
                  train_csc: Optional[CSRMatrix] = None,
                  test_coo: Optional[COOMatrix] = None,
                  n_devices: Optional[int] = None):
+        from cumf_als_tpu.utils.plan_cache import (cached_build,
+                                                   cached_transpose)
         self.cfg = cfg
         self.mesh = make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
         self.train_csr = train_csr
-        self.train_csc = train_csc or transpose_csr(train_csr)
+        self.train_csc = train_csc or cached_transpose(
+            cfg.plan_cache_dir, train_csr)
         self.test_coo = test_coo
         self._shard = NamedSharding(self.mesh, P(DATA_AXIS))
         self._repl = NamedSharding(self.mesh, P())
@@ -85,17 +88,55 @@ class ShardedOutOfCoreALS:
 
         # --- X phase: nnz-balanced row shards, aligned bucket chunks.
         # Plan arrays stay host-side numpy; streamed per chunk.
+        row_params = dict(n_dev=self.n_dev, min_w=cfg.min_bucket_width,
+                          max_w=cfg.max_bucket_width,
+                          chunk_nnz=cfg.chunk_nnz,
+                          chunk_rows=cfg.chunk_rows)
         self.row_plan: ShardedRowPlan = build_sharded_row_plan(
             train_csr, self.n_dev, cfg.min_bucket_width,
             cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
-            lazy=lazy)
+            lazy=lazy) if lazy else cached_build(
+            cfg.plan_cache_dir, "sh_row", train_csr, row_params,
+            lambda: build_sharded_row_plan(
+                train_csr, self.n_dev, cfg.min_bucket_width,
+                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows))
 
         # --- theta phase: per-device panel plans over LOCAL X ids.
         # Each device's sub-matrix: theta rows x its local x columns.
         m_loc = self.row_plan.m_loc
         self.panel_size = min(cfg.panel_size, 1 << 16)
-        per_dev_plans = []
         csc = self.train_csc
+
+        def build_theta_steps():
+            return AlignedSteps(*align_panel_plans(
+                self._build_per_dev_plans(lazy), csc.num_rows,
+                self.panel_size))
+
+        if lazy:
+            aligned = build_theta_steps()
+        else:
+            th_params = dict(row_params, panel=self.panel_size,
+                             split_w=cfg.split_width,
+                             octave=cfg.octave_points)
+            aligned = cached_build(cfg.plan_cache_dir, "sh_ooc_theta",
+                                   train_csr, th_params,
+                                   build_theta_steps)
+        self.theta_steps, self.n_panels = aligned.steps, aligned.n_panels
+        self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
+
+        batch = cfg.chunk_rows
+        n = csc.num_rows
+        self.n_pad = -(-(n + 1) // batch) * batch
+        nnz_pad = np.zeros(self.n_pad, np.int32)
+        nnz_pad[:n] = self.theta_nnz
+        self._theta_nnz_pad = jnp.asarray(nnz_pad)
+
+    def _build_per_dev_plans(self, lazy: bool):
+        cfg = self.cfg
+        train_csr = self.train_csr
+        csc = self.train_csc
+        m_loc = self.row_plan.m_loc
+        per_dev_plans = []
         if self.n_dev == 1:
             # single-device shard: global_ids[0] is the identity, so
             # the device's sub-matrix IS the CSC view — skip the
@@ -145,16 +186,7 @@ class ShardedOutOfCoreALS:
                     chunk_rows=cfg.chunk_rows,
                     split_width=cfg.split_width,
                     octave_points=cfg.octave_points, lazy=lazy))
-        self.theta_steps, self.n_panels = align_panel_plans(
-            per_dev_plans, csc.num_rows, self.panel_size)
-        self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
-
-        batch = cfg.chunk_rows
-        n = csc.num_rows
-        self.n_pad = -(-(n + 1) // batch) * batch
-        nnz_pad = np.zeros(self.n_pad, np.int32)
-        nnz_pad[:n] = self.theta_nnz
-        self._theta_nnz_pad = jnp.asarray(nnz_pad)
+        return per_dev_plans
 
     # ---------- X phase ----------
     def _x_solve_fn(self, width: int, r: int):

@@ -127,11 +127,84 @@ def _read_entry(path: str):
     return meta, arrays
 
 
+# ---------- sharded (device-axis) chunk (de)serialization ----------
+
+def _pack_dev_chunks(chunks) -> dict:
+    """Pack chunks whose arrays carry a leading device axis:
+    rows/nnz (n_dev, R), cols/vals (n_dev, R, P). Works for
+    ShardedChunk (panel = -1) and AlignedPanelChunk alike."""
+    meta = np.asarray(
+        [(getattr(c, "panel", -1), c.width, c.rows.shape[0],
+          c.rows.shape[1]) for c in chunks], np.int64
+    ).reshape(len(chunks), 4)
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt, copy=False)
+           if parts else np.zeros(0, dt))
+    return {
+        "chunk_meta": meta,
+        "rows": cat([c.rows.reshape(-1) for c in chunks], np.int32),
+        "nnz": cat([c.nnz.reshape(-1) for c in chunks], np.int32),
+        "cols": cat([c.cols.reshape(-1) for c in chunks], np.int32),
+        "vals": cat([c.vals.reshape(-1) for c in chunks], np.float32),
+    }
+
+
+def _unpack_dev_chunks(arrays: dict, make) -> List:
+    """make(panel, width, rows, nnz, cols, vals) -> chunk object."""
+    meta = np.asarray(arrays["chunk_meta"])
+    rows, nnz = arrays["rows"], arrays["nnz"]
+    cols, vals = arrays["cols"], arrays["vals"]
+    out, ro, co = [], 0, 0
+    for panel, width, n_dev, r in meta:
+        panel, width, n_dev, r = (int(panel), int(width), int(n_dev),
+                                  int(r))
+        out.append(make(
+            panel, width,
+            rows[ro:ro + n_dev * r].reshape(n_dev, r),
+            nnz[ro:ro + n_dev * r].reshape(n_dev, r),
+            cols[co:co + n_dev * r * width].reshape(n_dev, r, width),
+            vals[co:co + n_dev * r * width].reshape(n_dev, r, width)))
+        ro += n_dev * r
+        co += n_dev * r * width
+    return out
+
+
 # ---------- plan-level save/load ----------
 
 def save_plan(cache_dir: str, key: str, plan) -> None:
+    from cumf_als_tpu.parallel.plan import (AlignedSteps, ReducePlan,
+                                            ShardedRowPlan)
     path = os.path.join(cache_dir, key)
-    if isinstance(plan, UpdatePlan):
+    if isinstance(plan, ShardedRowPlan):
+        if any(not hasattr(c, "cols") for c in plan.chunks):
+            return  # lazy chunks: streaming form, not cacheable as arrays
+        meta = {"type": "sharded_row", "n_dev": plan.n_dev, "m": plan.m,
+                "m_loc": plan.m_loc, "num_cols": plan.num_cols}
+        arrays = _pack_dev_chunks(plan.chunks)
+        arrays["global_ids"] = plan.global_ids
+        _write_entry(path, meta, arrays)
+    elif isinstance(plan, ReducePlan):
+        blocks = plan.blocks
+        meta = {"type": "reduce", "n_dev": plan.n_dev, "n": plan.n,
+                "m_loc": plan.m_loc,
+                "block_meta": [
+                    (b.width, int(b.rows.shape[0]), int(b.cols.shape[0]))
+                    for b in blocks]}
+        cat = (lambda parts, dt: np.concatenate(parts).astype(
+            dt, copy=False) if parts else np.zeros(0, dt))
+        _write_entry(path, meta, {
+            "rows": cat([b.rows for b in blocks], np.int32),
+            "nnz_total": cat([b.nnz_total for b in blocks], np.int32),
+            "nnz_local": cat([b.nnz_local.reshape(-1) for b in blocks],
+                             np.int32),
+            "cols": cat([b.cols.reshape(-1) for b in blocks], np.int32),
+            "vals": cat([b.vals.reshape(-1) for b in blocks],
+                        np.float32)})
+    elif isinstance(plan, AlignedSteps):
+        if any(not hasattr(c, "cols") for c in plan.steps):
+            return  # lazy steps: streaming form
+        meta = {"type": "aligned_steps", "n_panels": plan.n_panels}
+        _write_entry(path, meta, _pack_dev_chunks(plan.steps))
+    elif isinstance(plan, UpdatePlan):
         meta = {"type": "update", "num_rows": plan.num_rows,
                 "num_cols": plan.num_cols, "true_nnz": plan.true_nnz,
                 "padded_nnz": plan.padded_nnz}
@@ -176,6 +249,45 @@ def load_plan(cache_dir: str, key: str):
     meta, arrays = _read_entry(os.path.join(cache_dir, key))
     if meta is None:
         return None
+    if meta["type"] == "sharded_row":
+        from cumf_als_tpu.parallel.plan import (ShardedChunk,
+                                                ShardedRowPlan)
+        chunks = _unpack_dev_chunks(
+            arrays, lambda panel, width, rows, nnz, cols, vals:
+            ShardedChunk(width=width, rows=np.asarray(rows),
+                         nnz=np.asarray(nnz), cols=cols, vals=vals))
+        return ShardedRowPlan(
+            n_dev=meta["n_dev"], m=meta["m"], m_loc=meta["m_loc"],
+            global_ids=np.asarray(arrays["global_ids"]),
+            num_cols=meta["num_cols"], chunks=chunks)
+    if meta["type"] == "reduce":
+        from cumf_als_tpu.parallel.plan import ReduceBlock, ReducePlan
+        n_dev = meta["n_dev"]
+        blocks, ro, fo = [], 0, 0
+        for width, c, nd in meta["block_meta"]:
+            width, c, nd = int(width), int(c), int(nd)
+            p = width
+            blocks.append(ReduceBlock(
+                width=width,
+                rows=np.asarray(arrays["rows"][ro:ro + c]),
+                nnz_local=np.asarray(
+                    arrays["nnz_local"][ro * n_dev:(ro + c) * n_dev]
+                ).reshape(nd, c),
+                nnz_total=np.asarray(arrays["nnz_total"][ro:ro + c]),
+                cols=arrays["cols"][fo:fo + nd * c * p].reshape(nd, c, p),
+                vals=arrays["vals"][fo:fo + nd * c * p].reshape(nd, c, p)))
+            ro += c
+            fo += nd * c * p
+        return ReducePlan(n_dev=n_dev, n=meta["n"], m_loc=meta["m_loc"],
+                          blocks=blocks)
+    if meta["type"] == "aligned_steps":
+        from cumf_als_tpu.parallel.plan import (AlignedPanelChunk,
+                                                AlignedSteps)
+        steps = _unpack_dev_chunks(
+            arrays, lambda panel, width, rows, nnz, cols, vals:
+            AlignedPanelChunk(panel, width, np.asarray(rows),
+                              np.asarray(nnz), cols, vals))
+        return AlignedSteps(steps=steps, n_panels=meta["n_panels"])
     if meta["type"] == "update":
         return UpdatePlan(num_rows=meta["num_rows"],
                           num_cols=meta["num_cols"],

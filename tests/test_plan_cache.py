@@ -65,6 +65,62 @@ class TestRoundTrip:
         assert pc.load_plan(str(tmp_path), "nope") is None
 
 
+class TestShardedRoundTrip:
+    def test_sharded_row_plan(self, medium_problem, tmp_path):
+        from cumf_als_tpu.parallel.plan import build_sharded_row_plan
+        train, _ = medium_problem
+        plan = build_sharded_row_plan(train, 4, chunk_nnz=1 << 10,
+                                      chunk_rows=64)
+        pc.save_plan(str(tmp_path), "k", plan)
+        got = pc.load_plan(str(tmp_path), "k")
+        assert (got.n_dev, got.m, got.m_loc, got.num_cols) == \
+            (plan.n_dev, plan.m, plan.m_loc, plan.num_cols)
+        assert np.array_equal(got.global_ids, plan.global_ids)
+        _chunks_equal(plan.chunks, got.chunks)
+
+    def test_reduce_plan(self, medium_problem, tmp_path):
+        from cumf_als_tpu.parallel.plan import (build_reduce_plan,
+                                                build_sharded_row_plan)
+        from cumf_als_tpu.utils.io import transpose_csr
+        train, _ = medium_problem
+        row_plan = build_sharded_row_plan(train, 4)
+        plan = build_reduce_plan(transpose_csr(train), row_plan,
+                                 block_rows=16)
+        pc.save_plan(str(tmp_path), "k", plan)
+        got = pc.load_plan(str(tmp_path), "k")
+        assert (got.n_dev, got.n, got.m_loc) == (plan.n_dev, plan.n,
+                                                plan.m_loc)
+        assert len(got.blocks) == len(plan.blocks)
+        for b1, b2 in zip(plan.blocks, got.blocks):
+            assert b1.width == b2.width
+            assert np.array_equal(b1.rows, b2.rows)
+            assert np.array_equal(b1.nnz_local, b2.nnz_local)
+            assert np.array_equal(b1.nnz_total, b2.nnz_total)
+            assert np.array_equal(b1.cols, b2.cols)
+            assert np.array_equal(b1.vals, b2.vals)
+
+    def test_aligned_steps(self, medium_problem, tmp_path):
+        from cumf_als_tpu.parallel.plan import (
+            AlignedSteps, build_sharded_row_plan,
+            build_sharded_x_panel_steps)
+        train, _ = medium_problem
+        row_plan = build_sharded_row_plan(train, 4)
+        steps, n_panels = build_sharded_x_panel_steps(
+            train, row_plan, panel_size=32, chunk_rows=64)
+        plan = AlignedSteps(steps=steps, n_panels=n_panels)
+        pc.save_plan(str(tmp_path), "k", plan)
+        got = pc.load_plan(str(tmp_path), "k")
+        assert got.n_panels == n_panels
+        _chunks_equal(plan.steps, got.steps)
+
+    def test_lazy_plans_not_cached(self, medium_problem, tmp_path):
+        from cumf_als_tpu.parallel.plan import build_sharded_row_plan
+        train, _ = medium_problem
+        plan = build_sharded_row_plan(train, 4, lazy=True)
+        pc.save_plan(str(tmp_path), "k", plan)  # silently skipped
+        assert pc.load_plan(str(tmp_path), "k") is None
+
+
 class TestFingerprint:
     def test_sensitive_to_data(self, medium_problem):
         train, _ = medium_problem
@@ -93,6 +149,46 @@ class TestCacheHitEquivalence:
             assert a.test_rmse == pytest.approx(b.test_rmse, rel=1e-6)
         # and actually created entries on disk
         assert any(p.is_dir() for p in tmp_path.iterdir())
+
+    def test_sharded_results_identical_with_cache(self, medium_problem,
+                                                  tmp_path):
+        """ShardedALS (ROADMAP r2 #4): plans load from disk on the second
+        construction and the trajectory is unchanged."""
+        from cumf_als_tpu.parallel.sharded_als import ShardedALS
+        train, test = medium_problem
+        cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=16,
+                        lam=0.05, iters=2, verbose=False,
+                        debug_timing=False, chunk_nnz=1 << 12,
+                        panel_size=32, chunk_rows=64,
+                        plan_cache_dir=str(tmp_path))
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16, seed=1)
+        r1 = ShardedALS(cfg, train, None, test, block_rows=64).run(x0, th0)
+        m2 = ShardedALS(cfg, train, None, test, block_rows=64)
+        assert m2.x_steps is not None  # panel mode engaged from cache
+        r2 = m2.run(x0, th0)
+        for a, b in zip(r1.history, r2.history):
+            assert a.train_rmse == pytest.approx(b.train_rmse, rel=1e-6)
+            assert a.test_rmse == pytest.approx(b.test_rmse, rel=1e-6)
+        kinds = {p.name.split("-")[0] for p in tmp_path.iterdir()}
+        assert {"sh_row", "sh_reduce", "sh_xpanel", "csc"} <= kinds
+
+    def test_sharded_ooc_identical_with_cache(self, medium_problem,
+                                              tmp_path):
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = medium_problem
+        cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=16,
+                        lam=0.05, iters=2, verbose=False,
+                        debug_timing=False, chunk_nnz=1 << 12,
+                        panel_size=32, chunk_rows=64,
+                        plan_cache_dir=str(tmp_path))
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16, seed=1)
+        r1 = ShardedOutOfCoreALS(cfg, train, None, test).run(x0, th0)
+        r2 = ShardedOutOfCoreALS(cfg, train, None, test).run(x0, th0)
+        for a, b in zip(r1.history, r2.history):
+            assert a.train_rmse == pytest.approx(b.train_rmse, rel=1e-6)
+            assert a.test_rmse == pytest.approx(b.test_rmse, rel=1e-6)
+        kinds = {p.name.split("-")[0] for p in tmp_path.iterdir()}
+        assert {"sh_row", "sh_ooc_theta"} <= kinds
 
 
 class TestPanelFusedRMSE:
