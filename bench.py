@@ -36,30 +36,71 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_DSET_MEMBERS = ("indptr", "indices", "data", "trow", "tcol", "tdata")
+
+
+def _load_dataset_dir(path: str):
+    """mmap-load a directory-format cached dataset. File-backed pages
+    are evictable, so hugewiki-scale runs don't carry ~29 GB of anon
+    RSS for the rating arrays (the reference reads its binaries into
+    pinned host RAM, host_utilities.cpp:19-97 — but its hosts are sized
+    for it; ours must coexist with the host-resident X shards)."""
+    import json as _json
+    from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    a = {k: np.load(os.path.join(path, k + ".npy"), mmap_mode="r")
+         for k in _DSET_MEMBERS}
+    train = CSRMatrix(indptr=a["indptr"], indices=a["indices"],
+                      data=a["data"], num_rows=meta["m"],
+                      num_cols=meta["n"])
+    test = COOMatrix(row=a["trow"], col=a["tcol"], data=a["tdata"],
+                     num_rows=meta["m"], num_cols=meta["n"])
+    return train, test
+
+
 def load_workload(name: str, scale: float, seed: int = 0):
     from cumf_als_tpu.data.synthetic import workload_ratings
-    from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
     os.makedirs(CACHE_DIR, exist_ok=True)
     tag = f"{name}_s{scale:g}_seed{seed}_v2"  # v2: workload rating scales
-    path = os.path.join(CACHE_DIR, tag + ".npz")
-    if os.path.exists(path):
-        log(f"[bench] loading cached dataset {path}")
-        z = np.load(path)
-        train = CSRMatrix(indptr=z["indptr"], indices=z["indices"],
-                          data=z["data"], num_rows=int(z["m"]),
-                          num_cols=int(z["n"]))
-        test = COOMatrix(row=z["trow"], col=z["tcol"], data=z["tdata"],
-                         num_rows=int(z["m"]), num_cols=int(z["n"]))
-        return train, test
+    dpath = os.path.join(CACHE_DIR, tag)
+    npz_path = dpath + ".npz"
+    if os.path.isdir(dpath):
+        log(f"[bench] loading cached dataset {dpath} (mmap)")
+        return _load_dataset_dir(dpath)
+    if os.path.exists(npz_path):
+        # legacy single-npz cache: migrate to the mmap-able directory
+        # format one member at a time, then drop the npz
+        log(f"[bench] migrating cached dataset {npz_path} -> {dpath}")
+        import json as _json
+        z = np.load(npz_path)
+        tmp = dpath + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for k in _DSET_MEMBERS:
+            np.save(os.path.join(tmp, k + ".npy"), z[k])
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            _json.dump({"m": int(z["m"]), "n": int(z["n"])}, fh)
+        z.close()
+        os.rename(tmp, dpath)
+        os.remove(npz_path)
+        return _load_dataset_dir(dpath)
     log(f"[bench] generating synthetic {name} (scale={scale}) ...")
     t0 = time.monotonic()
     train, test = workload_ratings(name, scale=scale, seed=seed)
     log(f"[bench] generated nnz={train.nnz} nnz_test={test.nnz} "
         f"in {time.monotonic() - t0:.1f}s")
-    np.savez(path, indptr=train.indptr, indices=train.indices,
-             data=train.data, trow=test.row, tcol=test.col,
-             tdata=test.data, m=train.num_rows, n=train.num_cols)
-    return train, test
+    import json as _json
+    tmp = dpath + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for k, arr in zip(_DSET_MEMBERS, (train.indptr, train.indices,
+                                      train.data, test.row, test.col,
+                                      test.data)):
+        np.save(os.path.join(tmp, k + ".npy"), arr)
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        _json.dump({"m": train.num_rows, "n": train.num_cols}, fh)
+    os.rename(tmp, dpath)
+    # reopen mmap-backed so the generation arrays' anon pages are freed
+    return _load_dataset_dir(dpath)
 
 
 def main() -> int:

@@ -149,7 +149,14 @@ class OutOfCoreALS:
         f = cfg.f_pad
         s = plan.panel_size
         m = plan.num_cols  # X rows
-        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        # bf16 accumulators swamp when each theta row receives one
+        # partial add per panel across hundreds of panels (see
+        # ShardedOutOfCoreALS.BF16_ACCUM_MAX_PANELS); promote to f32
+        # for deep-panel (hugewiki-class) plans.
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        use_bf16 = (cfg.gram_dtype == "bf16" and plan.n_panels <=
+                    ShardedOutOfCoreALS.BF16_ACCUM_MAX_PANELS)
+        a_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         a_buf = jnp.zeros((self.n_pad, f, f), a_dtype)
         b_buf = jnp.zeros((self.n_pad, f), jnp.float32)
 

@@ -70,10 +70,11 @@ class LazyShardedChunk:
     __slots__ = ("width", "rows", "nnz", "_csr", "_grows", "_r")
 
     def __init__(self, csr: CSRMatrix, width: int, grows, local_rows,
-                 r: int, m_loc: int):
+                 r: int, m_loc: int, lens_all: np.ndarray = None):
         """grows/local_rows: per-device lists of global/local row ids
         (may be shorter than r — the rest are dummy tails, rows ==
-        m_loc)."""
+        m_loc). lens_all: precomputed np.diff(indptr) — pass it when
+        building many chunks (recomputing is O(m) per chunk)."""
         self.width = width
         self._csr = csr
         self._grows = grows
@@ -81,7 +82,8 @@ class LazyShardedChunk:
         n_dev = len(grows)
         self.rows = np.full((n_dev, r), m_loc, np.int32)
         self.nnz = np.zeros((n_dev, r), np.int32)
-        lens_all = np.diff(np.asarray(csr.indptr))
+        if lens_all is None:
+            lens_all = np.diff(np.asarray(csr.indptr))
         for d in range(n_dev):
             k = grows[d].size
             self.rows[d, :k] = local_rows[d]
@@ -179,7 +181,8 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
                          for d in range(n_dev)]
                 lrows = [local_of[g] for g in grows]
                 chunks.append(LazyShardedChunk(
-                    csr, width, grows, lrows, rows_per_chunk, m_loc))
+                    csr, width, grows, lrows, rows_per_chunk, m_loc,
+                    lens_all=row_nnz))
                 continue
             rows = np.full((n_dev, rows_per_chunk), m_loc, np.int32)
             nnz = np.zeros((n_dev, rows_per_chunk), np.int32)

@@ -33,6 +33,7 @@ sized for the real workload (m=50M, nnz=3.1B, hugewiki.cu:27-42):
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
@@ -57,6 +58,23 @@ from cumf_als_tpu.utils.timing import seconds
 # Above this nnz the plan arrays stream (LazyShardedChunk /
 # LazyPanelChunk) instead of being pre-materialized.
 LAZY_NNZ_THRESHOLD = 1 << 28
+
+# CUMF_RSS_LOG=<N>: print host RSS every N streamed steps inside the
+# phase loops (multi-hour-run observability; the reference's analog is
+# the per-batch DEBUG printf, hugewiki.cu:2538-2572).
+_RSS_LOG_EVERY = int(os.environ.get("CUMF_RSS_LOG", "0"))
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/statm") as fh:
+        return int(fh.read().split()[1]) * 4096 / 1e9
+
+
+def _maybe_log_rss(phase: str, step: int) -> None:
+    if _RSS_LOG_EVERY and step % _RSS_LOG_EVERY == 0:
+        import sys
+        print(f"[rss] {phase} step {step}: {_rss_gb():.2f} GB",
+              file=sys.stderr, flush=True)
 
 
 class ShardedOutOfCoreALS:
@@ -92,14 +110,14 @@ class ShardedOutOfCoreALS:
                           max_w=cfg.max_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
                           chunk_rows=cfg.chunk_rows)
-        self.row_plan: ShardedRowPlan = build_sharded_row_plan(
-            train_csr, self.n_dev, cfg.min_bucket_width,
-            cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
-            lazy=lazy) if lazy else cached_build(
-            cfg.plan_cache_dir, "sh_row", train_csr, row_params,
+        self.row_plan: ShardedRowPlan = cached_build(
+            cfg.plan_cache_dir, "sh_row", train_csr,
+            dict(row_params, lazy=lazy),
             lambda: build_sharded_row_plan(
                 train_csr, self.n_dev, cfg.min_bucket_width,
-                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows))
+                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
+                lazy=lazy),
+            csr_for_lazy=train_csr if lazy else None)
 
         # --- theta phase: per-device panel plans over LOCAL X ids.
         # Each device's sub-matrix: theta rows x its local x columns.
@@ -112,15 +130,12 @@ class ShardedOutOfCoreALS:
                 self._build_per_dev_plans(lazy), csc.num_rows,
                 self.panel_size))
 
-        if lazy:
-            aligned = build_theta_steps()
-        else:
-            th_params = dict(row_params, panel=self.panel_size,
-                             split_w=cfg.split_width,
-                             octave=cfg.octave_points)
-            aligned = cached_build(cfg.plan_cache_dir, "sh_ooc_theta",
-                                   train_csr, th_params,
-                                   build_theta_steps)
+        th_params = dict(row_params, panel=self.panel_size,
+                         split_w=cfg.split_width,
+                         octave=cfg.octave_points, lazy=lazy)
+        aligned = cached_build(cfg.plan_cache_dir, "sh_ooc_theta",
+                               train_csr, th_params, build_theta_steps,
+                               csr_for_lazy=csc if lazy else None)
         self.theta_steps, self.n_panels = aligned.steps, aligned.n_panels
         self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
 
@@ -243,7 +258,8 @@ class ShardedOutOfCoreALS:
         streaming loop, hugewiki.cu:2447-2496)."""
         pending = []
         m_loc = self.row_plan.m_loc
-        for ch in self.row_plan.chunks:
+        for ci, ch in enumerate(self.row_plan.chunks):
+            _maybe_log_rss("x", ci)
             rows, nnz, cols, vals = ch.materialize()
             safe_rows = np.minimum(rows, m_loc - 1)
             x0 = np.where((rows < m_loc)[..., None],
@@ -355,13 +371,31 @@ class ShardedOutOfCoreALS:
         self._fn_cache[key] = fn
         return fn
 
+    # Above this many panels per theta update, bf16 Gram accumulators
+    # are force-promoted to f32: each theta row's (A, b) receives ~one
+    # partial add per panel, and bf16 swamping across hundreds of adds
+    # (hugewiki: 765 panels, avg 78k nnz/row) corrupts the Gram and
+    # drives the fused train-RMSE identity negative. Netflix-class
+    # plans (<= ~10 panels) keep the bf16 win (measured test-RMSE delta
+    # 1.5e-4, docs/PERFORMANCE.md).
+    BF16_ACCUM_MAX_PANELS = 64
+
     def _theta_phase(self, x_host: np.ndarray, theta: jnp.ndarray):
         cfg = self.cfg
         f = cfg.f_pad
         s = self.panel_size
         m_loc = self.row_plan.m_loc
-        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" \
-            else jnp.float32
+        use_bf16 = (cfg.gram_dtype == "bf16" and
+                    self.n_panels <= self.BF16_ACCUM_MAX_PANELS)
+        if cfg.gram_dtype == "bf16" and not use_bf16 and \
+                not getattr(self, "_warned_promote", False):
+            self._warned_promote = True
+            import sys
+            print(f"[sharded_ooc] {self.n_panels} panels > "
+                  f"{self.BF16_ACCUM_MAX_PANELS}: promoting Gram "
+                  f"accumulators bf16 -> f32 (accumulation-depth "
+                  f"swamping guard)", file=sys.stderr, flush=True)
+        a_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         zeros = jax.jit(lambda: (
             jnp.zeros((self.n_dev, self.n_pad, f, f), a_dtype),
             jnp.zeros((self.n_dev, self.n_pad, f), jnp.float32)),
@@ -382,7 +416,8 @@ class ShardedOutOfCoreALS:
         nxt_i = 0
         nxt = panel_slice(panel_ids[0]) if panel_ids else None
         cur_panel, xp = -1, None
-        for st in self.theta_steps:
+        for si, st in enumerate(self.theta_steps):
+            _maybe_log_rss("theta", si)
             if st.panel != cur_panel:
                 xp = nxt
                 nxt_i += 1
@@ -485,21 +520,21 @@ class ShardedOutOfCoreALS:
                   f"({self.row_plan.m_loc} rows/device), "
                   f"{self.n_panels} local X panels streamed per theta "
                   f"update.")
-            print("*******start iterations...")
+            print("*******start iterations...", flush=True)
         for it in range(start_iter, cfg.iters):
             t0 = seconds()
             self._x_phase(x_host, theta)
             tx = seconds() - t0
             if cfg.debug_timing:
                 print(f"update X run {tx:f} seconds, gridSize: {cfg.m}, "
-                      f"blockSize {cfg.f}.")
+                      f"blockSize {cfg.f}.", flush=True)
             t0 = seconds()
             theta, se = self._theta_phase(x_host, theta)
             theta.block_until_ready()
             tth = seconds() - t0
             if cfg.debug_timing:
                 print(f"update theta run {tth:f} seconds, gridSize: "
-                      f"{cfg.n}, blockSize {cfg.f}.")
+                      f"{cfg.n}, blockSize {cfg.f}.", flush=True)
             train_rmse = float(np.sqrt(max(se, 0.0) /
                                        self.train_csr.nnz))
             test_rmse = self._test_rmse(x_host, theta)
@@ -508,6 +543,8 @@ class ShardedOutOfCoreALS:
                 if np.isfinite(test_rmse):
                     print(f"--------- Test RMSE in iter {it}: "
                           f"{test_rmse:f}")
+                import sys as _sys
+                _sys.stdout.flush()
             history.append(IterationMetrics(it, train_rmse, test_rmse,
                                             tx, tth, 0.0))
             if not np.isfinite(train_rmse):

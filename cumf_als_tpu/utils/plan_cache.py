@@ -170,13 +170,115 @@ def _unpack_dev_chunks(arrays: dict, make) -> List:
 
 # ---------- plan-level save/load ----------
 
+def _save_lazy_sharded_row(path: str, plan) -> None:
+    """Lazy chunks hold per-device global-row lists only; pack them flat.
+    Cuts the hugewiki-scale lazy plan rebuild (~15 min of bucketing +
+    subrow scans per process) to an mmap load."""
+    chunks = plan.chunks
+    meta = {"type": "sharded_row_lazy", "n_dev": int(plan.n_dev),
+            "m": int(plan.m), "m_loc": int(plan.m_loc),
+            "num_cols": int(plan.num_cols),
+            "chunk_meta": [
+                [int(c.width), int(c._r)] +
+                [int(g.size) for g in c._grows] for c in chunks]}
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt, copy=False)
+           if parts else np.zeros(0, dt))
+    _write_entry(path, meta, {
+        "global_ids": plan.global_ids,
+        "grows": cat([g for c in chunks for g in c._grows], np.int64),
+        "rows": cat([c.rows.reshape(-1) for c in chunks], np.int32),
+        "nnz": cat([c.nnz.reshape(-1) for c in chunks], np.int32)})
+
+
+def _load_lazy_sharded_row(meta, arrays, csr):
+    from cumf_als_tpu.parallel.plan import (LazyShardedChunk,
+                                            ShardedRowPlan)
+    n_dev = meta["n_dev"]
+    chunks, go, ro = [], 0, 0
+    grows_flat, rows_f, nnz_f = (arrays["grows"], arrays["rows"],
+                                 arrays["nnz"])
+    for cm in meta["chunk_meta"]:
+        width, r = int(cm[0]), int(cm[1])
+        ch = object.__new__(LazyShardedChunk)
+        ch.width = width
+        ch._csr = csr
+        ch._r = r
+        grows = []
+        for d in range(n_dev):
+            k = int(cm[2 + d])
+            grows.append(np.asarray(grows_flat[go:go + k]))
+            go += k
+        ch._grows = grows
+        ch.rows = np.asarray(rows_f[ro:ro + n_dev * r]).reshape(n_dev, r)
+        ch.nnz = np.asarray(nnz_f[ro:ro + n_dev * r]).reshape(n_dev, r)
+        ro += n_dev * r
+        chunks.append(ch)
+    return ShardedRowPlan(
+        n_dev=n_dev, m=meta["m"], m_loc=meta["m_loc"],
+        global_ids=np.asarray(arrays["global_ids"]),
+        num_cols=meta["num_cols"], chunks=chunks)
+
+
+def _save_lazy_aligned_steps(path: str, plan) -> None:
+    """Cacheable only when every step's sole member references ONE
+    shared matrix (the n_dev==1 hugewiki form, where the device
+    sub-matrix IS the CSC): the cache stores subrow descriptors and the
+    loader re-binds them to the caller's csr."""
+    steps = plan.steps
+    if any(not hasattr(st, "_per_dev") for st in steps):
+        return  # mixed eager/lazy steps: rebuild per process
+    mats = {id(ch._csr) for st in steps for ch in st._per_dev
+            if ch is not None}
+    if len({len(st._per_dev) for st in steps} | {1}) != 1 or \
+            len(mats) > 1:
+        return  # multi-device lazy steps: rebuild per process
+    sent = steps[0]._sentinel if steps else 0
+    psize = steps[0]._panel_size if steps else 0
+    meta = {"type": "aligned_steps_lazy", "n_panels": int(plan.n_panels),
+            "sentinel": int(sent), "panel_size": int(psize),
+            "chunk_meta": [
+                [int(st.panel), int(st.width), int(st._r),
+                 int(st._per_dev[0]._sub_off.shape[0]),
+                 int(st._per_dev[0]._base)]
+                for st in steps]}
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt, copy=False)
+           if parts else np.zeros(0, dt))
+    mem = [st._per_dev[0] for st in steps]
+    _write_entry(path, meta, {
+        "sub_off": cat([c._sub_off for c in mem], np.int64),
+        "sub_len": cat([c._sub_len for c in mem], np.int32),
+        "sub_rows": cat([c._sub_rows for c in mem], np.int32)})
+
+
+def _load_lazy_aligned_steps(meta, arrays, csr):
+    from cumf_als_tpu.ops.tiling import LazyPanelChunk
+    from cumf_als_tpu.parallel.plan import (AlignedSteps,
+                                            LazyAlignedPanelChunk)
+    sent, psize = meta["sentinel"], meta["panel_size"]
+    off_f, len_f, rows_f = (arrays["sub_off"], arrays["sub_len"],
+                            arrays["sub_rows"])
+    steps, so = [], 0
+    for panel, width, r, k, base in meta["chunk_meta"]:
+        panel, width, r, k, base = (int(panel), int(width), int(r),
+                                    int(k), int(base))
+        ch = LazyPanelChunk(
+            csr, panel, width, np.asarray(off_f[so:so + k]),
+            np.asarray(len_f[so:so + k]),
+            np.asarray(rows_f[so:so + k]), r, base, psize)
+        so += k
+        steps.append(LazyAlignedPanelChunk(panel, width, [ch], r, sent,
+                                           psize))
+    return AlignedSteps(steps=steps, n_panels=meta["n_panels"])
+
+
 def save_plan(cache_dir: str, key: str, plan) -> None:
     from cumf_als_tpu.parallel.plan import (AlignedSteps, ReducePlan,
                                             ShardedRowPlan)
     path = os.path.join(cache_dir, key)
     if isinstance(plan, ShardedRowPlan):
         if any(not hasattr(c, "cols") for c in plan.chunks):
-            return  # lazy chunks: streaming form, not cacheable as arrays
+            _save_lazy_sharded_row(path, plan)
+            return
         meta = {"type": "sharded_row", "n_dev": plan.n_dev, "m": plan.m,
                 "m_loc": plan.m_loc, "num_cols": plan.num_cols}
         arrays = _pack_dev_chunks(plan.chunks)
@@ -201,7 +303,8 @@ def save_plan(cache_dir: str, key: str, plan) -> None:
                         np.float32)})
     elif isinstance(plan, AlignedSteps):
         if any(not hasattr(c, "cols") for c in plan.steps):
-            return  # lazy steps: streaming form
+            _save_lazy_aligned_steps(path, plan)
+            return
         meta = {"type": "aligned_steps", "n_panels": plan.n_panels}
         _write_entry(path, meta, _pack_dev_chunks(plan.steps))
     elif isinstance(plan, UpdatePlan):
@@ -245,10 +348,18 @@ def save_plan(cache_dir: str, key: str, plan) -> None:
         raise TypeError(f"unknown plan type {type(plan)!r}")
 
 
-def load_plan(cache_dir: str, key: str):
+def load_plan(cache_dir: str, key: str, csr: Optional[CSRMatrix] = None):
+    """csr: required to re-bind lazy (streaming) plan entries; lazy
+    entries return None without it."""
     meta, arrays = _read_entry(os.path.join(cache_dir, key))
     if meta is None:
         return None
+    if meta["type"] == "sharded_row_lazy":
+        return _load_lazy_sharded_row(meta, arrays, csr) \
+            if csr is not None else None
+    if meta["type"] == "aligned_steps_lazy":
+        return _load_lazy_aligned_steps(meta, arrays, csr) \
+            if csr is not None else None
     if meta["type"] == "sharded_row":
         from cumf_als_tpu.parallel.plan import (ShardedChunk,
                                                 ShardedRowPlan)
@@ -355,18 +466,28 @@ def cached_transpose(cache_dir: Optional[str], csr: CSRMatrix) -> CSRMatrix:
                      {"indptr": np.asarray(csc.indptr),
                       "indices": csc.indices, "data": csc.data})
     except Exception:
-        pass
-    return csc
+        return csc
+    # reopen mmap-backed: drops ~2x nnz bytes of anon RSS (matters at
+    # hugewiki scale, where the CSC alone is ~25 GB)
+    meta, arrays = _read_entry(path)
+    if meta is None:
+        return csc
+    return CSRMatrix(indptr=np.asarray(arrays["indptr"]),
+                     indices=arrays["indices"], data=arrays["data"],
+                     num_rows=meta["num_rows"], num_cols=meta["num_cols"])
 
 
 def cached_build(cache_dir: Optional[str], kind: str, csr: CSRMatrix,
-                 params: dict, build_fn):
-    """Memoize build_fn() on disk. cache_dir None disables caching."""
+                 params: dict, build_fn,
+                 csr_for_lazy: Optional[CSRMatrix] = None):
+    """Memoize build_fn() on disk. cache_dir None disables caching.
+    csr_for_lazy: the matrix lazy (streaming) chunks re-bind to on load
+    — the source CSR for row plans, the CSC for theta steps."""
     if not cache_dir:
         return build_fn()
     key = plan_key(kind, dataset_fingerprint(csr), params)
     try:
-        plan = load_plan(cache_dir, key)
+        plan = load_plan(cache_dir, key, csr=csr_for_lazy)
     except Exception:
         plan = None  # corrupt/stale entry: rebuild
     if plan is not None:

@@ -65,6 +65,7 @@ def main() -> int:
                     cg_iters=args.cg_iters, factor_dtype="bf16",
                     gram_dtype="bf16", backend="pallas",
                     host_offload_x=True, verbose=True,
+                    plan_cache_dir=os.path.join(bench.CACHE_DIR, "plans"),
                     debug_timing=True)
     t0 = time.monotonic()
     model = ShardedOutOfCoreALS(cfg, train, None, test,

@@ -113,12 +113,58 @@ class TestShardedRoundTrip:
         assert got.n_panels == n_panels
         _chunks_equal(plan.steps, got.steps)
 
-    def test_lazy_plans_not_cached(self, medium_problem, tmp_path):
+    def test_lazy_sharded_row_round_trip(self, medium_problem, tmp_path):
         from cumf_als_tpu.parallel.plan import build_sharded_row_plan
         train, _ = medium_problem
         plan = build_sharded_row_plan(train, 4, lazy=True)
-        pc.save_plan(str(tmp_path), "k", plan)  # silently skipped
+        pc.save_plan(str(tmp_path), "k", plan)
+        # lazy entries need the source matrix to re-bind
         assert pc.load_plan(str(tmp_path), "k") is None
+        got = pc.load_plan(str(tmp_path), "k", csr=train)
+        assert (got.n_dev, got.m, got.m_loc, got.num_cols) == \
+            (plan.n_dev, plan.m, plan.m_loc, plan.num_cols)
+        assert np.array_equal(got.global_ids, plan.global_ids)
+        assert len(got.chunks) == len(plan.chunks)
+        for c1, c2 in zip(plan.chunks, got.chunks):
+            for a, b in zip(c1.materialize(), c2.materialize()):
+                assert np.array_equal(a, b)
+
+    def test_lazy_aligned_steps_round_trip(self, medium_problem,
+                                           tmp_path):
+        from cumf_als_tpu.ops.tiling import build_panel_plan
+        from cumf_als_tpu.parallel.plan import (AlignedSteps,
+                                                align_panel_plans)
+        from cumf_als_tpu.utils.io import transpose_csr
+        train, _ = medium_problem
+        csc = transpose_csr(train)
+        pp = build_panel_plan(csc, panel_size=32, chunk_rows=64,
+                              lazy=True)
+        steps, n_panels = align_panel_plans([pp], csc.num_rows, 32)
+        plan = AlignedSteps(steps=steps, n_panels=n_panels)
+        pc.save_plan(str(tmp_path), "k", plan)
+        assert pc.load_plan(str(tmp_path), "k") is None
+        got = pc.load_plan(str(tmp_path), "k", csr=csc)
+        assert got.n_panels == n_panels
+        assert len(got.steps) == len(plan.steps)
+        for s1, s2 in zip(plan.steps, got.steps):
+            assert (s1.panel, s1.width) == (s2.panel, s2.width)
+            for a, b in zip(s1.materialize(), s2.materialize()):
+                assert np.array_equal(a, b)
+
+    def test_lazy_multidev_steps_not_cached(self, medium_problem,
+                                            tmp_path):
+        from cumf_als_tpu.ops.tiling import build_panel_plan
+        from cumf_als_tpu.parallel.plan import (AlignedSteps,
+                                                align_panel_plans)
+        from cumf_als_tpu.utils.io import transpose_csr
+        train, _ = medium_problem
+        csc = transpose_csr(train)
+        pp = build_panel_plan(csc, panel_size=32, chunk_rows=64,
+                              lazy=True)
+        steps, n_panels = align_panel_plans([pp, pp], csc.num_rows, 32)
+        plan = AlignedSteps(steps=steps, n_panels=n_panels)
+        pc.save_plan(str(tmp_path), "k", plan)  # silently skipped
+        assert pc.load_plan(str(tmp_path), "k", csr=csc) is None
 
 
 class TestFingerprint:
