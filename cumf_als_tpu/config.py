@@ -143,6 +143,13 @@ class ALSConfig:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     # out-of-core: keep the large factor host-resident, stream shards
     host_offload_x: bool = False
+    # Streamed-plan transport dtype for rating values on the
+    # host->device path (sharded/out-of-core streaming only; device-
+    # resident plans keep f32). "f16" halves the dominant H2D volume;
+    # integer-grid ratings (Netflix/ML-10M 1..5) are exact in fp16, and
+    # the Gram/RHS accumulate in f32 either way. Column ids compact to
+    # uint16 automatically whenever the gather-table size fits.
+    stream_val_dtype: str = "f32"
 
     def __post_init__(self):
         if self.f <= 0:
@@ -162,6 +169,9 @@ class ALSConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.use_panels not in ("auto", "never"):
             raise ValueError(f"unknown use_panels {self.use_panels!r}")
+        if self.stream_val_dtype not in ("f32", "f16"):
+            raise ValueError(
+                f"unknown stream_val_dtype {self.stream_val_dtype!r}")
 
     @property
     def f_pad(self) -> int:

@@ -149,13 +149,16 @@ class OutOfCoreALS:
         f = cfg.f_pad
         s = plan.panel_size
         m = plan.num_cols  # X rows
-        # bf16 accumulators swamp when each theta row receives one
-        # partial add per panel across hundreds of panels (see
-        # ShardedOutOfCoreALS.BF16_ACCUM_MAX_PANELS); promote to f32
-        # for deep-panel (hugewiki-class) plans.
+        # bf16 accumulators swamp when each theta row receives many
+        # partial adds (one per (panel, width-chunk) subrow covering
+        # it); promote to f32 for deep-accumulation (hugewiki-class)
+        # plans. Same guard as ShardedOutOfCoreALS.BF16_ACCUM_MAX_DEPTH.
         from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
-        use_bf16 = (cfg.gram_dtype == "bf16" and plan.n_panels <=
-                    ShardedOutOfCoreALS.BF16_ACCUM_MAX_PANELS)
+        depth = sum(int(ch.num_rows) if hasattr(ch, "num_rows")
+                    else int(ch.rows.shape[0])
+                    for ch in plan.chunks) / max(1, plan.num_rows)
+        use_bf16 = (cfg.gram_dtype == "bf16" and depth <=
+                    ShardedOutOfCoreALS.BF16_ACCUM_MAX_DEPTH)
         a_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         a_buf = jnp.zeros((self.n_pad, f, f), a_dtype)
         b_buf = jnp.zeros((self.n_pad, f), jnp.float32)

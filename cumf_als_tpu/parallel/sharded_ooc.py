@@ -121,8 +121,10 @@ class ShardedOutOfCoreALS:
 
         # --- theta phase: per-device panel plans over LOCAL X ids.
         # Each device's sub-matrix: theta rows x its local x columns.
+        # Panel capped 8 short of 2^16 so panel-local ids INCLUDING the
+        # pad sentinel (== panel_size) fit the uint16 stream transport.
         m_loc = self.row_plan.m_loc
-        self.panel_size = min(cfg.panel_size, 1 << 16)
+        self.panel_size = min(cfg.panel_size, (1 << 16) - 8)
         csc = self.train_csc
 
         def build_theta_steps():
@@ -203,6 +205,35 @@ class ShardedOutOfCoreALS:
                     octave_points=cfg.octave_points, lazy=lazy))
         return per_dev_plans
 
+    # ---------- stream transport compaction ----------
+    # The streamed-plan H2D volume (~8 B/padded-nnz in int32+f32)
+    # dominates tunnel-bound runs; ids compact to uint16 whenever the
+    # target table fits, values to fp16 behind cfg.stream_val_dtype,
+    # factors to bf16 when factor_dtype already computes in bf16. The
+    # in-jit casts back to int32/f32 run at VPU rate on device.
+    def _compact_ids(self, ids: np.ndarray, table_rows: int) -> np.ndarray:
+        if table_rows <= (1 << 16):
+            return ids.astype(np.uint16)
+        return ids
+
+    def _compact_vals(self, vals: np.ndarray) -> np.ndarray:
+        if self.cfg.stream_val_dtype == "f16":
+            return vals.astype(np.float16)
+        return vals
+
+    def _compact_factors(self, x: np.ndarray) -> np.ndarray:
+        return x.astype(self._x_store_dtype(), copy=False)
+
+    def _x_store_dtype(self):
+        """Host-store dtype for the large factor: bf16 when the compute
+        path is bf16 anyway (factor_dtype) — halves the XT_h analog
+        (25.6 GB -> 12.8 GB at hugewiki scale) and all panel/warm-start
+        stream traffic."""
+        if self.cfg.factor_dtype == "bf16":
+            import ml_dtypes
+            return ml_dtypes.bfloat16
+        return np.float32
+
     # ---------- X phase ----------
     def _x_solve_fn(self, width: int, r: int):
         """shard_map'd streamed-chunk solve: no device-resident X.
@@ -219,6 +250,9 @@ class ShardedOutOfCoreALS:
             use_pallas = fused_available()
 
         def body(theta, x0, nnz, cols, vals):
+            cols = cols[0].astype(jnp.int32)   # uint16 stream transport
+            vals = vals[0].astype(jnp.float32)
+            x0 = x0[0].astype(jnp.float32)
             if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
                 theta = theta.astype(jnp.bfloat16)
             theta_ext = jnp.concatenate(
@@ -227,19 +261,21 @@ class ShardedOutOfCoreALS:
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
                 solved, _se = gather_gram_cg(
-                    theta_ext, cols[0], vals[0], nnz[0], x0[0], cfg.lam,
+                    theta_ext, cols, vals, nnz[0], x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                     factor_dtype=cfg.factor_dtype)
             else:
                 from cumf_als_tpu.ops.gram import gram_rhs
-                a, b = gram_rhs(theta_ext, cols[0], vals[0], nnz[0],
+                a, b = gram_rhs(theta_ext, cols, vals, nnz[0],
                                 cfg.lam, precision=cfg.gram_precision,
                                 factor_dtype=cfg.factor_dtype,
                                 gram_dtype=cfg.gram_dtype)
-                solved = solve(a, b, x0[0], solver=cfg.solver,
+                solved = solve(a, b, x0, solver=cfg.solver,
                                cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                                backend=cfg.backend)
                 solved = solved * (nnz[0] > 0)[:, None]
+            if cfg.factor_dtype == "bf16":  # halve the D2H write-back
+                solved = solved.astype(jnp.bfloat16)
             return solved[None]
 
         sm = jax.shard_map(
@@ -247,7 +283,13 @@ class ShardedOutOfCoreALS:
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P(DATA_AXIS)),
             out_specs=P(DATA_AXIS), check_vma=False)
-        fn = jax.jit(sm, donate_argnums=(1,))
+        # explicit in_shardings: chunk args arrive as RAW numpy (the
+        # jit-internal transfer leaks ~1x its bytes in the tunnel
+        # client vs ~2x for device_put + execute — measured, see
+        # docs/PERFORMANCE.md on the axon H2D leak)
+        fn = jax.jit(sm, donate_argnums=(1,),
+                     in_shardings=(self._repl, self._shard, self._shard,
+                                   self._shard, self._shard))
         self._fn_cache[key] = fn
         return fn
 
@@ -265,14 +307,12 @@ class ShardedOutOfCoreALS:
             x0 = np.where((rows < m_loc)[..., None],
                           np.take_along_axis(
                               x_host, safe_rows[..., None], axis=1),
-                          0.0).astype(np.float32)
+                          np.zeros((), x_host.dtype))
             fn = self._x_solve_fn(ch.width, rows.shape[1])
             solved = call_with_vmem_backoff(
-                fn, theta,
-                jax.device_put(x0, self._shard),
-                jax.device_put(nnz, self._shard),
-                jax.device_put(cols, self._shard),
-                jax.device_put(vals, self._shard))
+                fn, theta, self._compact_factors(x0), nnz,
+                self._compact_ids(cols, self.row_plan.num_cols + 1),
+                self._compact_vals(vals))
             pending.append((rows, nnz, solved))
             if len(pending) >= 2:
                 self._drain_one(x_host, pending)
@@ -304,6 +344,9 @@ class ShardedOutOfCoreALS:
             use_pallas = fused_available()
 
         def body(a_buf, b_buf, x_panel, rows, cols, vals):
+            rows = rows[0].astype(jnp.int32)   # uint16 stream transport
+            cols = cols[0].astype(jnp.int32)
+            vals = vals[0].astype(jnp.float32)
             xp = x_panel[0]
             if cfg.factor_dtype == "bf16":
                 xp = xp.astype(jnp.bfloat16)
@@ -312,18 +355,17 @@ class ShardedOutOfCoreALS:
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_out
                 a_part, b_part = gather_gram_out(
-                    xp, cols[0], vals[0],
-                    out_dtype=str(a_buf.dtype))
+                    xp, cols, vals, out_dtype=str(a_buf.dtype))
             else:
-                g = jnp.take(xp, cols[0], axis=0)
+                g = jnp.take(xp, cols, axis=0)
                 a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
                                     preferred_element_type=jnp.float32)
-                b_part = jnp.einsum("rp,rpf->rf", vals[0], g,
+                b_part = jnp.einsum("rp,rpf->rf", vals, g,
                                     precision=prec,
                                     preferred_element_type=jnp.float32)
-            a = a_buf[0].at[rows[0]].add(a_part.astype(a_buf.dtype),
-                                         mode="drop")
-            b = b_buf[0].at[rows[0]].add(b_part, mode="drop")
+            a = a_buf[0].at[rows].add(a_part.astype(a_buf.dtype),
+                                      mode="drop")
+            b = b_buf[0].at[rows].add(b_part, mode="drop")
             return a[None], b[None]
 
         sm = jax.shard_map(
@@ -331,7 +373,11 @@ class ShardedOutOfCoreALS:
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
-        fn = jax.jit(sm, donate_argnums=(0, 1))
+        # raw-numpy chunk args (see _x_solve_fn on the H2D leak); the
+        # panel xp stays a device array — device_put'd one panel ahead
+        # for transfer/compute overlap, transferred once per panel
+        fn = jax.jit(sm, donate_argnums=(0, 1),
+                     in_shardings=(self._shard,) * 6)
         self._fn_cache[key] = fn
         return fn
 
@@ -371,30 +417,40 @@ class ShardedOutOfCoreALS:
         self._fn_cache[key] = fn
         return fn
 
-    # Above this many panels per theta update, bf16 Gram accumulators
-    # are force-promoted to f32: each theta row's (A, b) receives ~one
-    # partial add per panel, and bf16 swamping across hundreds of adds
-    # (hugewiki: 765 panels, avg 78k nnz/row) corrupts the Gram and
-    # drives the fused train-RMSE identity negative. Netflix-class
-    # plans (<= ~10 panels) keep the bf16 win (measured test-RMSE delta
-    # 1.5e-4, docs/PERFORMANCE.md).
-    BF16_ACCUM_MAX_PANELS = 64
+    # Above this many partial ADDS PER THETA ROW, bf16 Gram accumulators
+    # are force-promoted to f32: each row's (A, b) receives one partial
+    # per (panel, width-chunk) subrow covering it, and bf16 swamping
+    # over deep add-chains (hugewiki: ~19 split-width segments x 765
+    # panels per 78k-nnz row) corrupts the Gram and drives the fused
+    # train-RMSE identity negative. Netflix-class plans (~1-2 subrows
+    # per row) keep the bf16 win (measured test-RMSE delta 1.5e-4,
+    # docs/PERFORMANCE.md).
+    BF16_ACCUM_MAX_DEPTH = 16
+
+    def _theta_accum_depth(self) -> float:
+        """Average scatter-adds per theta accumulator row (dummy slots
+        included — they only overestimate, which is the safe side)."""
+        slots = sum(int(st.rows.shape[1]) if hasattr(st, "rows")
+                    else int(st._r) for st in self.theta_steps)
+        return slots / max(1, self.train_csc.num_rows)
 
     def _theta_phase(self, x_host: np.ndarray, theta: jnp.ndarray):
         cfg = self.cfg
         f = cfg.f_pad
         s = self.panel_size
         m_loc = self.row_plan.m_loc
-        use_bf16 = (cfg.gram_dtype == "bf16" and
-                    self.n_panels <= self.BF16_ACCUM_MAX_PANELS)
-        if cfg.gram_dtype == "bf16" and not use_bf16 and \
-                not getattr(self, "_warned_promote", False):
-            self._warned_promote = True
-            import sys
-            print(f"[sharded_ooc] {self.n_panels} panels > "
-                  f"{self.BF16_ACCUM_MAX_PANELS}: promoting Gram "
-                  f"accumulators bf16 -> f32 (accumulation-depth "
-                  f"swamping guard)", file=sys.stderr, flush=True)
+        use_bf16 = cfg.gram_dtype == "bf16"
+        if use_bf16:
+            depth = self._theta_accum_depth()
+            use_bf16 = depth <= self.BF16_ACCUM_MAX_DEPTH
+            if not use_bf16 and not getattr(self, "_warned_promote",
+                                            False):
+                self._warned_promote = True
+                import sys
+                print(f"[sharded_ooc] ~{depth:.0f} partial adds per "
+                      f"theta row > {self.BF16_ACCUM_MAX_DEPTH}: "
+                      f"promoting Gram accumulators bf16 -> f32 "
+                      f"(swamping guard)", file=sys.stderr, flush=True)
         a_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         zeros = jax.jit(lambda: (
             jnp.zeros((self.n_dev, self.n_pad, f, f), a_dtype),
@@ -410,7 +466,8 @@ class ShardedOutOfCoreALS:
             # async device_put, issued a panel ahead: H2D overlaps the
             # previous panel's accumulation (the reference's OpenMP
             # streaming, hugewiki.cu:2629-2680)
-            return jax.device_put(np.ascontiguousarray(sl), self._shard)
+            return jax.device_put(self._compact_factors(
+                np.ascontiguousarray(sl)), self._shard)
 
         panel_ids = sorted({st.panel for st in self.theta_steps})
         nxt_i = 0
@@ -428,9 +485,9 @@ class ShardedOutOfCoreALS:
             fn = self._accum_fn(st.width, rows.shape[1])
             a_buf, b_buf = call_with_vmem_backoff(
                 fn, a_buf, b_buf, xp,
-                jax.device_put(rows, self._shard),
-                jax.device_put(cols, self._shard),
-                jax.device_put(vals, self._shard))
+                self._compact_ids(rows, self.n_pad + 1),
+                self._compact_ids(cols, s + 1),
+                self._compact_vals(vals))
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         th_new, se_term = call_with_vmem_backoff(
@@ -456,7 +513,7 @@ class ShardedOutOfCoreALS:
         analog, hugewiki.cu:2300-2302)."""
         f_pad = self.cfg.f_pad
         out = np.zeros((self.n_dev, self.row_plan.m_loc, f_pad),
-                       np.float32)
+                       self._x_store_dtype())
         if x0.any():  # zeros stay calloc-virtual (25.6 GB at hugewiki)
             for d in range(self.n_dev):
                 ids = self.row_plan.global_ids[d]
@@ -494,21 +551,31 @@ class ShardedOutOfCoreALS:
             r = coo.row[lo:lo + step]
             c = coo.col[lo:lo + step]
             v = coo.data[lo:lo + step]
-            xg = x_host[inv_dev[r], inv_loc[r], :f]
+            xg = x_host[inv_dev[r], inv_loc[r], :f].astype(np.float32)
             pred = np.einsum("ij,ij->i", xg, th[c])
             e = v - pred
             se += float(np.dot(e, e))
         return float(np.sqrt(se / coo.nnz))
 
     # ---------- training loop ----------
-    def run(self, x0: np.ndarray, theta0: np.ndarray,
-            start_iter: int = 0) -> ALSResult:
+    def run(self, x0: Optional[np.ndarray], theta0: np.ndarray,
+            start_iter: int = 0, x_host0: Optional[np.ndarray] = None,
+            keep_sharded: bool = False) -> ALSResult:
+        """x_host0: resume directly from a sharded host store (skips the
+        global (m, f) staging copy — the per-iteration process-restart
+        path for leak-bounded full-scale runs). keep_sharded: skip the
+        final unshard copy; the sharded store stays on self.x_host."""
         cfg = self.cfg
         theta0 = theta0 * (self.theta_nnz > 0).astype(np.float32)[:, None]
-        if x0.any():  # all-zero x0 (the reference init): skip the 20 GB+
-            x0 = x0 * (np.diff(self.train_csr.indptr) > 0
-                       ).astype(np.float32)[:, None]
-        x_host = self.shard_x_host(x0)
+        if x_host0 is not None:
+            x_host = np.ascontiguousarray(
+                x_host0.astype(self._x_store_dtype(), copy=False))
+        else:
+            if x0.any():  # all-zero x0 (reference init): skip the 20 GB+
+                x0 = x0 * (np.diff(self.train_csr.indptr) > 0
+                           ).astype(np.float32)[:, None]
+            x_host = self.shard_x_host(x0)
+        self.x_host = x_host
         th = np.zeros((self.train_csc.num_rows, cfg.f_pad), np.float32)
         th[:, :cfg.f] = theta0
         theta = jax.device_put(jnp.asarray(th), self._repl)
@@ -556,6 +623,7 @@ class ShardedOutOfCoreALS:
                 save_checkpoint(cfg.checkpoint_dir, it,
                                 self.unshard_x_host(x_host),
                                 np.asarray(theta)[:, :cfg.f], cfg)
-        return ALSResult(x=self.unshard_x_host(x_host),
+        return ALSResult(x=(None if keep_sharded
+                            else self.unshard_x_host(x_host)),
                          theta=np.asarray(theta)[:, :cfg.f],
                          history=history)

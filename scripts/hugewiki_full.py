@@ -39,6 +39,12 @@ def main() -> int:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--f", type=int, default=100)
     p.add_argument("--cg-iters", type=int, default=6)
+    p.add_argument("--state-dir", default=None,
+                   help="run ONE iteration per process, persisting "
+                        "(x_host, theta, iter) here; re-invoke until "
+                        "--iters are done. Bounds the axon tunnel "
+                        "client's H2D leak (~1 byte leaked per byte "
+                        "streamed) to a single iteration's volume.")
     args = p.parse_args()
 
     from cumf_als_tpu.utils.jax_setup import setup_jax
@@ -59,14 +65,29 @@ def main() -> int:
     from cumf_als_tpu.data.synthetic import init_factors
     from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
 
+    # state-dir mode runs exactly one iteration per process (leak
+    # bound); peek at the resume index before freezing the config
+    next_iter = 0
+    if args.state_dir:
+        st_path = os.path.join(args.state_dir, "state.json")
+        if os.path.exists(st_path):
+            with open(st_path) as fh:
+                next_iter = json.load(fh)["next_iter"]
+        if next_iter >= args.iters:
+            with open(st_path) as fh:
+                print(fh.read(), flush=True)
+            return 0
+
     cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=args.f,
                     nnz=train.nnz, nnz_test=test.nnz, lam=0.048,
-                    iters=args.iters, solver="cg",
+                    iters=(next_iter + 1 if args.state_dir
+                           else args.iters),
+                    solver="cg",
                     cg_iters=args.cg_iters, factor_dtype="bf16",
                     gram_dtype="bf16", backend="pallas",
                     host_offload_x=True, verbose=True,
                     plan_cache_dir=os.path.join(bench.CACHE_DIR, "plans"),
-                    debug_timing=True)
+                    stream_val_dtype="f16", debug_timing=True)
     t0 = time.monotonic()
     model = ShardedOutOfCoreALS(cfg, train, None, test,
                                 n_devices=args.devices)
@@ -76,6 +97,46 @@ def main() -> int:
           f"{len(model.row_plan.chunks)} X chunks, "
           f"{len(model.theta_steps)} theta steps) rss={rss_gb():.1f}GB",
           file=sys.stderr, flush=True)
+
+    if args.state_dir:
+        os.makedirs(args.state_dir, exist_ok=True)
+        st_path = os.path.join(args.state_dir, "state.json")
+        if os.path.exists(st_path):
+            with open(st_path) as fh:
+                st = json.load(fh)
+            it = st["next_iter"]
+            x_host0 = np.load(os.path.join(
+                args.state_dir, "x_host.npy")).view(
+                model._x_store_dtype())
+            th0 = np.load(os.path.join(args.state_dir, "theta.npy"))
+        else:
+            st = {"next_iter": 0, "history": []}
+            it = 0
+            x_host0 = None
+            _, th0 = init_factors(8, cfg.n, cfg.f, seed=cfg.seed)
+        t0 = time.monotonic()
+        res = model.run(
+            None if x_host0 is not None else np.zeros(
+                (cfg.m, cfg.f), np.float32),
+            th0, start_iter=it, x_host0=x_host0, keep_sharded=True)
+        iter_s = time.monotonic() - t0
+        np.save(os.path.join(args.state_dir, "x_host.npy"),
+                model.x_host)
+        np.save(os.path.join(args.state_dir, "theta.npy"), res.theta)
+        h = res.history[-1]
+        st["history"].append(
+            {"iter": it, "x_seconds": round(h.x_seconds, 1),
+             "theta_seconds": round(h.theta_seconds, 1),
+             "train_rmse": round(h.train_rmse, 5),
+             "test_rmse": round(h.test_rmse, 5),
+             "iter_seconds": round(iter_s, 1),
+             "plan_seconds": round(plan_s, 1),
+             "rss_gb": round(rss_gb(), 1)})
+        st["next_iter"] = it + 1
+        with open(st_path, "w") as fh:
+            json.dump(st, fh)
+        print(json.dumps(st["history"][-1]), flush=True)
+        return 0
 
     x0 = np.zeros((cfg.m, cfg.f), np.float32)  # reference init: X = 0
     _, th0 = init_factors(8, cfg.n, cfg.f, seed=cfg.seed)
