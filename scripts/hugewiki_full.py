@@ -120,9 +120,12 @@ def main() -> int:
                 (cfg.m, cfg.f), np.float32),
             th0, start_iter=it, x_host0=x_host0, keep_sharded=True)
         iter_s = time.monotonic() - t0
-        np.save(os.path.join(args.state_dir, "x_host.npy"),
-                model.x_host)
-        np.save(os.path.join(args.state_dir, "theta.npy"), res.theta)
+        # atomic: a crash mid-save must not corrupt the only checkpoint
+        for name, arr in (("x_host", model.x_host),
+                          ("theta", res.theta)):
+            tmp = os.path.join(args.state_dir, name + ".tmp.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, os.path.join(args.state_dir, name + ".npy"))
         h = res.history[-1]
         st["history"].append(
             {"iter": it, "x_seconds": round(h.x_seconds, 1),
@@ -133,8 +136,9 @@ def main() -> int:
              "plan_seconds": round(plan_s, 1),
              "rss_gb": round(rss_gb(), 1)})
         st["next_iter"] = it + 1
-        with open(st_path, "w") as fh:
+        with open(st_path + ".tmp", "w") as fh:
             json.dump(st, fh)
+        os.replace(st_path + ".tmp", st_path)
         print(json.dumps(st["history"][-1]), flush=True)
         return 0
 
