@@ -10,6 +10,17 @@ def setup_jax(cache_dir: str | None = None) -> None:
     compiles one XLA program per (bucket width, chunk rows) shape; the
     cache makes those one-time costs per machine, not per process."""
     import jax
+    # Re-assert the user's JAX_PLATFORMS choice through the config API:
+    # TPU-tunnel plugins can register a platform override that wins
+    # over the env var (observed: JAX_PLATFORMS=cpu in the environment
+    # but default_backend() == "tpu"). The config update is honored as
+    # long as no backend has initialized yet.
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
     cache_dir = cache_dir or os.environ.get(
         "CUMF_ALS_TPU_CACHE", os.path.expanduser("~/.cache/cumf_als_tpu"))
     try:

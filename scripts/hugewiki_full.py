@@ -32,7 +32,7 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--iters", type=int, default=1)
@@ -45,7 +45,7 @@ def main() -> int:
                         "--iters are done. Bounds the axon tunnel "
                         "client's H2D leak (~1 byte leaked per byte "
                         "streamed) to a single iteration's volume.")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cumf_als_tpu.utils.jax_setup import setup_jax
     setup_jax()
