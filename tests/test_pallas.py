@@ -227,6 +227,13 @@ def test_vmem_oom_backoff():
         assert ps._VMEM_BUDGET == start - (2 << 20)
         assert not ps.vmem_oom_backoff(ValueError("unrelated"))
         assert ps._VMEM_BUDGET == start - (2 << 20)
+        # remote-compile toolchains surface compile OOMs as opaque
+        # HTTP 500s from the compile helper — treated as possible OOMs
+        opaque = RuntimeError(
+            "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+        assert ps.vmem_oom_backoff(opaque)
+        assert ps._VMEM_BUDGET == start - (4 << 20)
         # drains to the floor, then reports unrecoverable
         while ps.vmem_oom_backoff(oom):
             pass
