@@ -62,9 +62,11 @@ class ALSConfig:
     # prediction 0 for their test entries — the *intended* semantics of the
     # reference's SURPASS_NAN NaN-skip (als.cu:201-211).
     surpass_nan: bool = True
-    # "fused": train RMSE from the theta-phase Gram/RHS identity (free);
-    # "direct": per-nonzero gather + dot (reference RMSE kernel semantics).
-    train_rmse_method: str = "direct"
+    # "fused": train RMSE from the theta-phase Gram/RHS identity — exact
+    # (ops/rmse.py) and free, the default everywhere (CLI, bench and the
+    # Python API agree since r3); "direct": per-nonzero gather + dot
+    # (reference RMSE kernel semantics), kept as the A/B flag.
+    train_rmse_method: str = "fused"
 
     # --- bucketing / memory batching ---
     # Padded row-bucket widths are powers of two in [min_bucket_width,

@@ -20,7 +20,8 @@ import numpy as np
 
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
-from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
+from cumf_als_tpu.ops.pallas_solve import (backend_uses_pallas,
+                                             call_with_vmem_backoff)
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelPlan,
@@ -643,7 +644,8 @@ class ALS:
             # als.cu:800-807); dumped when save_model is on.
             self._save_tag = f"tt_iter{it:03d}" if cfg.save_model else None
             x, _ = call_with_vmem_backoff(
-                self._update_phase, theta, x, self.plan_x, False)
+                self._update_phase, theta, x, self.plan_x, False,
+                uses_pallas=backend_uses_pallas(cfg))
             if cfg.debug_timing:
                 # exact per-phase split costs a device sync at the phase
                 # boundary; without it the theta phase's head can queue
@@ -662,7 +664,8 @@ class ALS:
             self._save_tag = f"xx_iter{it:03d}" if cfg.save_model else None
             want_fused = cfg.train_rmse_method == "fused"
             theta, se_acc = call_with_vmem_backoff(
-                self._update_phase, x, theta, self.plan_theta, want_fused)
+                self._update_phase, x, theta, self.plan_theta, want_fused,
+                uses_pallas=backend_uses_pallas(cfg))
             theta.block_until_ready()
             tth = seconds() - t0
             if cfg.debug_timing:

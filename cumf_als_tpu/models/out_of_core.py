@@ -34,7 +34,8 @@ from cumf_als_tpu.models.als import (ALSResult, IterationMetrics,
                                      _solve_slice, _panel_accum,
                                      DeviceChunk)
 from cumf_als_tpu.ops.gram import extend_table, gram_rhs
-from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
+from cumf_als_tpu.ops.pallas_solve import (backend_uses_pallas,
+                                             call_with_vmem_backoff)
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (build_panel_plan, build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix, transpose_csr
@@ -263,14 +264,16 @@ class OutOfCoreALS:
             print("*******start iterations...")
         for it in range(start_iter, cfg.iters):
             t0 = seconds()
-            call_with_vmem_backoff(self._x_phase, x_host, theta)
+            call_with_vmem_backoff(self._x_phase, x_host, theta,
+                                   uses_pallas=backend_uses_pallas(cfg))
             tx = seconds() - t0
             if cfg.debug_timing:
                 print(f"update X run {tx:f} seconds, gridSize: {m}, "
                       f"blockSize {cfg.f}.")
             t0 = seconds()
             theta, se_plus_r2 = call_with_vmem_backoff(
-                self._theta_phase, x_host, theta)
+                self._theta_phase, x_host, theta,
+                uses_pallas=backend_uses_pallas(cfg))
             theta.block_until_ready()
             tth = seconds() - t0
             if cfg.debug_timing:

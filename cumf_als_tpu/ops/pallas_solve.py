@@ -17,6 +17,7 @@ gather; measured XLA gather is the fastest primitive on v5e).
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Optional
 
 import jax
@@ -124,45 +125,84 @@ def _cg_row_block(f: int, a_itemsize: int) -> int:
     return 1 << (rb.bit_length() - 1)
 
 
-def vmem_oom_backoff(exc: BaseException) -> bool:
-    """Recognize a compile-time Mosaic scoped-VMEM OOM and shrink the
-    sizing budget all the kernel block models target. The models are
-    empirical fits of measured footprints; on a toolchain where a fit
-    is off, this turns a fatal mid-run crash into a recompile with
-    smaller blocks. Returns True when the budget was lowered — the
-    caller must retry the failed dispatch (jit caches are cleared here
-    so re-tracing picks the new blocks up). Returns False for any other
-    error, or once the budget floor is reached."""
-    global _VMEM_BUDGET
+def _classify_compile_oom(exc: BaseException):
+    """Classify an exception as a Mosaic scoped-VMEM compile OOM.
+
+    Returns "direct" for an explicit vmem-allocation message, "opaque"
+    for a remote-compile-helper failure (the tunneled chip used here
+    keeps the Mosaic OOM detail in the compile server's log; the
+    client-side exception is an opaque "HTTP 500: tpu_compile_helper
+    subprocess exit code 1"), and None otherwise."""
     msg = str(exc).lower()
-    direct = "vmem" in msg and "allocat" in msg
-    # Remote-compile toolchains (the tunneled chip used here) keep the
-    # Mosaic OOM detail in the compile server's log; the client-side
-    # exception is an opaque "HTTP 500: tpu_compile_helper subprocess
-    # exit code 1". Treat that as a possible scoped-vmem OOM too: the
-    # only compile failure the shipped kernels produce at run time is
-    # block sizing, and a wrong guess costs at most three bounded
-    # retries before the original error re-raises.
-    opaque = "tpu_compile_helper" in msg or "remote_compile" in msg
-    if not (direct or opaque):
-        return False
+    if "vmem" in msg and "allocat" in msg:
+        return "direct"
+    if "tpu_compile_helper" in msg or "remote_compile" in msg:
+        return "opaque"
+    return None
+
+
+def _lower_vmem_budget(kind: str) -> bool:
+    """Shrink the sizing budget all the kernel block models target and
+    clear jit caches so re-tracing picks the new blocks up. The models
+    are empirical fits of measured footprints; on a toolchain where a
+    fit is off, this turns a fatal mid-run crash into a recompile with
+    smaller blocks. Returns False once the budget floor is reached."""
+    global _VMEM_BUDGET
     if _VMEM_BUDGET <= (9 << 20):
         return False
     _VMEM_BUDGET -= (2 << 20)
     jax.clear_caches()
+    if kind == "opaque":
+        # ADVICE r2: opaque-triggered backoffs must be diagnosable from
+        # the driver log (each costs a clear_caches + full recompile).
+        print(f"[pallas] opaque remote-compile failure: lowering VMEM "
+              f"budget to {_VMEM_BUDGET >> 20} MiB and retrying",
+              file=sys.stderr, flush=True)
     return True
 
 
-def call_with_vmem_backoff(fn, *args, **kwargs):
+def vmem_oom_backoff(exc: BaseException) -> bool:
+    """Recognize a compile-time Mosaic scoped-VMEM OOM and shrink the
+    kernel sizing budget. Returns True when the budget was lowered —
+    the caller must retry the failed dispatch. Returns False for any
+    other error, or once the budget floor is reached."""
+    kind = _classify_compile_oom(exc)
+    if kind is None:
+        return False
+    return _lower_vmem_budget(kind)
+
+
+def call_with_vmem_backoff(fn, *args, uses_pallas: bool = True, **kwargs):
     """Run fn, retrying on compile-time scoped-VMEM OOM with smaller
-    kernel blocks (see vmem_oom_backoff). Used by the model run loops
-    around phase dispatches, where a retry is safe: the OOM is raised
-    at compile time, before any donated buffer is consumed."""
+    kernel blocks. Used by the model run loops around phase dispatches,
+    where a retry is safe: the OOM is raised at compile time, before
+    any donated buffer is consumed.
+
+    uses_pallas: whether the dispatch contains pallas_call kernels
+    whose block sizing the budget actually controls. When False, any
+    failure (including an opaque remote-compile 500) re-raises at once
+    — a genuine XLA miscompile must surface on first error instead of
+    costing three recompiles (VERDICT r2 #8).
+
+    An OPAQUE failure is first retried once at the UNCHANGED budget:
+    transient tunnel/compile-server flakes then succeed without
+    permanently shrinking every kernel in the process (ADVICE r2)."""
+    opaque_retried = False
     while True:
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # noqa: BLE001 — filtered by message
-            if not vmem_oom_backoff(e):
+            kind = _classify_compile_oom(e)
+            if kind is None or not uses_pallas:
+                raise
+            if kind == "opaque" and not opaque_retried:
+                opaque_retried = True
+                print("[pallas] opaque remote-compile failure: retrying "
+                      "once at the unchanged VMEM budget "
+                      f"({_VMEM_BUDGET >> 20} MiB)",
+                      file=sys.stderr, flush=True)
+                continue
+            if not _lower_vmem_budget(kind):
                 raise
 
 
@@ -520,6 +560,14 @@ def fused_available() -> bool:
         except Exception:
             _STATUS = False
     return _STATUS
+
+
+def backend_uses_pallas(cfg) -> bool:
+    """Whether phase dispatches under this config contain pallas_call
+    kernels whose block sizing the VMEM budget controls — the gate for
+    call_with_vmem_backoff's retry loop (a pure-XLA dispatch must
+    surface its errors on first raise)."""
+    return getattr(cfg, "backend", "") == "pallas" and fused_available()
 
 
 def cg_solve_available() -> bool:

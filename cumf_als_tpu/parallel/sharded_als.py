@@ -29,7 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.models.als import ALSResult, IterationMetrics
 from cumf_als_tpu.ops.gram import _PRECISIONS
-from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
+from cumf_als_tpu.ops.pallas_solve import (backend_uses_pallas,
+                                             call_with_vmem_backoff)
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cumf_als_tpu.parallel.plan import (build_reduce_plan,
@@ -381,12 +382,15 @@ class ShardedALS:
             p_start = jnp.asarray(panel * s, jnp.int32)
             args = (theta_pad, p_start, a_buf, b_buf,
                     tuple(steps_data[i] for i in idxs))
-            a_buf, b_buf = call_with_vmem_backoff(fn, *args) if jitted \
-                else fn(*args)
+            a_buf, b_buf = call_with_vmem_backoff(
+                fn, *args, uses_pallas=backend_uses_pallas(self.cfg)) \
+                if jitted else fn(*args)
         fn = self._x_panel_solve_fn() if jitted \
             else self._x_panel_solve_sm()
         args = (a_buf, b_buf, x_sharded, nnz_loc)
-        return call_with_vmem_backoff(fn, *args) if jitted else fn(*args)
+        return call_with_vmem_backoff(
+            fn, *args, uses_pallas=backend_uses_pallas(self.cfg)) \
+            if jitted else fn(*args)
 
     def _theta_block_sm(self, width: int, c: int):
         key = ("theta_sm", width, c, self.cfg.solver)
@@ -592,12 +596,14 @@ class ShardedALS:
             for arrs, ch in zip(chunk_data, self.row_plan.chunks):
                 fn = self._x_chunk_fn(ch.width, ch.rows.shape[1])
                 x_sharded = call_with_vmem_backoff(
-                    fn, theta, x_sharded, *arrs)
+                    fn, theta, x_sharded, *arrs,
+                    uses_pallas=backend_uses_pallas(self.cfg))
         se_parts = []
         for arrs, bl in zip(block_data, self.reduce_plan.blocks):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
             theta, se = call_with_vmem_backoff(
-                fn, x_sharded, theta, *arrs)
+                fn, x_sharded, theta, *arrs,
+                uses_pallas=backend_uses_pallas(self.cfg))
             se_parts.append(se)
         se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
         return x_sharded, theta, se_total

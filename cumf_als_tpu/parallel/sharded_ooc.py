@@ -44,7 +44,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.models.als import ALSResult, IterationMetrics
 from cumf_als_tpu.ops.gram import _PRECISIONS
-from cumf_als_tpu.ops.pallas_solve import call_with_vmem_backoff
+from cumf_als_tpu.ops.pallas_solve import (backend_uses_pallas,
+                                             call_with_vmem_backoff)
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import build_panel_plan
 from cumf_als_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -312,7 +313,8 @@ class ShardedOutOfCoreALS:
             solved = call_with_vmem_backoff(
                 fn, theta, self._compact_factors(x0), nnz,
                 self._compact_ids(cols, self.row_plan.num_cols + 1),
-                self._compact_vals(vals))
+                self._compact_vals(vals),
+                uses_pallas=backend_uses_pallas(self.cfg))
             pending.append((rows, nnz, solved))
             if len(pending) >= 2:
                 self._drain_one(x_host, pending)
@@ -413,7 +415,12 @@ class ShardedOutOfCoreALS:
             body, mesh=self.mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
             out_specs=(P(), P()), check_vma=False)
-        fn = jax.jit(sm, donate_argnums=(0, 1))
+        # No donation here: the (theta, se) outputs can't alias the big
+        # Gram accumulators, so donating them only emitted a
+        # "Some donated buffers were not usable" warning once per
+        # process. The accumulators are freed by explicit .delete() in
+        # _theta_phase instead (ROADMAP r2 #5).
+        fn = jax.jit(sm)
         self._fn_cache[key] = fn
         return fn
 
@@ -487,14 +494,18 @@ class ShardedOutOfCoreALS:
                 fn, a_buf, b_buf, xp,
                 self._compact_ids(rows, self.n_pad + 1),
                 self._compact_ids(cols, s + 1),
-                self._compact_vals(vals))
+                self._compact_vals(vals),
+                uses_pallas=backend_uses_pallas(self.cfg))
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         th_new, se_term = call_with_vmem_backoff(
             self._reduce_solve_fn(),
             a_buf, b_buf, jax.device_put(theta_pad, self._repl),
-            self._theta_nnz_pad)
-        se = float(se_term) + self._sum_r2()
+            self._theta_nnz_pad,
+            uses_pallas=backend_uses_pallas(self.cfg))
+        se = float(se_term) + self._sum_r2()  # blocks on the solve
+        a_buf.delete()  # free the Gram accumulators before the X phase
+        b_buf.delete()  # allocates next iteration's chunk buffers
         return th_new[:n], se
 
     def _sum_r2(self) -> float:

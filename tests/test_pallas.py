@@ -280,3 +280,55 @@ def test_cg_matvec_impl_parity():
     r1 = np.asarray(ps.solve_cg_pallas(a, b, z))
     r2 = np.asarray(ps.solve_cg_pallas(a, b, z, matvec_impl="mxu"))
     np.testing.assert_allclose(r2, r1, rtol=2e-5, atol=2e-5)
+
+
+def test_backoff_opaque_retry_and_pallas_gate():
+    """r3 hardening (VERDICT r2 #8 + ADVICE): an opaque remote-compile
+    failure is retried ONCE at the unchanged budget before it starts
+    consuming backoff steps, and dispatches without pallas kernels
+    re-raise immediately instead of burning three recompiles."""
+    start = ps._VMEM_BUDGET
+    opaque_msg = ("INTERNAL: http://127.0.0.1:8083/remote_compile: "
+                  "HTTP 500: tpu_compile_helper subprocess exit code 1")
+    try:
+        # transient flake: fails once opaquely, then succeeds — the
+        # budget must be untouched afterwards
+        calls = []
+
+        def flaky_opaque():
+            calls.append(ps._VMEM_BUDGET)
+            if len(calls) < 2:
+                raise RuntimeError(opaque_msg)
+            return "ok"
+
+        assert ps.call_with_vmem_backoff(flaky_opaque) == "ok"
+        assert len(calls) == 2
+        assert ps._VMEM_BUDGET == start
+
+        # deterministic opaque failure: retry-once, then bounded budget
+        # steps, then the original error surfaces
+        n_calls = [0]
+
+        def always_opaque():
+            n_calls[0] += 1
+            raise RuntimeError(opaque_msg)
+
+        import pytest
+        with pytest.raises(RuntimeError, match="tpu_compile_helper"):
+            ps.call_with_vmem_backoff(always_opaque)
+        assert ps._VMEM_BUDGET == (9 << 20)  # drained to the floor
+        ps._VMEM_BUDGET = start
+
+        # non-pallas dispatch: the same opaque error re-raises at once
+        n_calls = [0]
+
+        def opaque_xla():
+            n_calls[0] += 1
+            raise RuntimeError(opaque_msg)
+
+        with pytest.raises(RuntimeError, match="tpu_compile_helper"):
+            ps.call_with_vmem_backoff(opaque_xla, uses_pallas=False)
+        assert n_calls[0] == 1
+        assert ps._VMEM_BUDGET == start
+    finally:
+        ps._VMEM_BUDGET = start
