@@ -145,6 +145,17 @@ class ALSConfig:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     # out-of-core: keep the large factor host-resident, stream shards
     host_offload_x: bool = False
+    # Sharded+OOC X placement: "host" streams X through device memory
+    # (the reference's pinned XT_h, hugewiki.cu:2300-2302, with warm-
+    # started CG); "device" keeps each device's X shard HBM-resident in
+    # the store dtype and COLD-starts the per-row CG solves — X never
+    # crosses the host boundary (the D2H path has no fast lane on
+    # tunneled chips; docs/PERFORMANCE.md r3). At reference-hugewiki
+    # scale the bf16 X shard (12.8 GB) fits one v5e chip, which the
+    # reference's 12 GB GPUs could not do — raise cg_iters (the
+    # reference's own hugewiki uses cgIter=100, hugewiki.cu:2569) to
+    # cover the missing warm start.
+    x_placement: str = "host"
     # Streamed-plan transport dtype for rating values on the
     # host->device path (sharded/out-of-core streaming only; device-
     # resident plans keep f32). "f16" halves the dominant H2D volume;
@@ -174,6 +185,8 @@ class ALSConfig:
         if self.stream_val_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"unknown stream_val_dtype {self.stream_val_dtype!r}")
+        if self.x_placement not in ("host", "device"):
+            raise ValueError(f"unknown x_placement {self.x_placement!r}")
 
     @property
     def f_pad(self) -> int:

@@ -136,10 +136,20 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
                            max_width: int = 1 << 18,
                            chunk_nnz: int = 1 << 22,
                            chunk_rows: int = 1 << 14,
-                           lazy: bool = False) -> ShardedRowPlan:
+                           lazy: bool = False,
+                           octave_points: int = 0) -> ShardedRowPlan:
     """Shard csr's rows over n_dev devices with aligned bucket chunks.
     lazy=True keeps chunks as LazyShardedChunk (cols/vals materialize at
-    stream time — the hugewiki-scale form)."""
+    stream time — the hugewiki-scale form).
+
+    octave_points > 0 buckets rows on the fine (mantissa) width grid of
+    ops/tiling.make_width_grid instead of pure powers of two — the same
+    padded-slot win the single-device plans took in round 2 (per-row pad
+    bound drops from 2x to 1.125-1.25x). Fine points stop at width 1024
+    to bound the compiled-shape count; the streamed X solve can't split
+    rows (each row solves in exactly one chunk), so long rows stay on
+    the pow2 tail of the grid. Ragged tail chunks round their row count
+    to the next power of two instead of padding to a full chunk."""
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     assign = assign_rows_balanced(row_nnz, n_dev)
     m_loc = -(-csr.num_rows // n_dev)
@@ -152,12 +162,18 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
 
     # Global bucket widths so all devices agree.
     max_nnz = int(row_nnz.max()) if row_nnz.size else 1
-    widths = []
-    w = max(8, _next_pow2(min_width))
-    top = max(w, _next_pow2(max(1, max_nnz)))
-    while w <= top:
-        widths.append(w)
-        w *= 2
+    if octave_points > 0:
+        from cumf_als_tpu.ops.tiling import make_width_grid
+        widths = make_width_grid(min_width, max(1, max_nnz),
+                                 max_width=1024,
+                                 octave_points=octave_points)
+    else:
+        widths = []
+        w = max(8, _next_pow2(min_width))
+        top = max(w, _next_pow2(max(1, max_nnz)))
+        while w <= top:
+            widths.append(w)
+            w *= 2
 
     # Per device, group nonempty rows by bucket.
     per_dev_buckets: List[List[np.ndarray]] = []
@@ -170,25 +186,29 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
     chunks: List[ShardedChunk] = []
     for b, width in enumerate(widths):
         rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
-        n_chunks = max((-(-per_dev_buckets[d][b].size // rows_per_chunk)
-                        if per_dev_buckets[d][b].size else 0)
-                       for d in range(n_dev))
+        n_rows_max = max(per_dev_buckets[d][b].size
+                         for d in range(n_dev))
+        n_chunks = -(-n_rows_max // rows_per_chunk) if n_rows_max else 0
         arange_w = np.arange(width, dtype=np.int64)[None, :]
         for c in range(n_chunks):
+            # ragged tail: pad the last chunk to the next power of two
+            # of the largest per-device remainder, not to a full chunk
+            k_max = min(n_rows_max - c * rows_per_chunk, rows_per_chunk)
+            r_c = min(rows_per_chunk, _next_pow2(max(8, k_max)))
             if lazy:
                 grows = [per_dev_buckets[d][b][c * rows_per_chunk:
                                                (c + 1) * rows_per_chunk]
                          for d in range(n_dev)]
                 lrows = [local_of[g] for g in grows]
                 chunks.append(LazyShardedChunk(
-                    csr, width, grows, lrows, rows_per_chunk, m_loc,
+                    csr, width, grows, lrows, r_c, m_loc,
                     lens_all=row_nnz))
                 continue
-            rows = np.full((n_dev, rows_per_chunk), m_loc, np.int32)
-            nnz = np.zeros((n_dev, rows_per_chunk), np.int32)
-            cols = np.full((n_dev, rows_per_chunk, width), csr.num_cols,
+            rows = np.full((n_dev, r_c), m_loc, np.int32)
+            nnz = np.zeros((n_dev, r_c), np.int32)
+            cols = np.full((n_dev, r_c, width), csr.num_cols,
                            np.int32)
-            vals = np.zeros((n_dev, rows_per_chunk, width), np.float32)
+            vals = np.zeros((n_dev, r_c, width), np.float32)
             for d in range(n_dev):
                 rows_d = per_dev_buckets[d][b][c * rows_per_chunk:
                                                (c + 1) * rows_per_chunk]

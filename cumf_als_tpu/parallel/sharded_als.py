@@ -74,12 +74,14 @@ class ShardedALS:
         row_params = dict(n_dev=self.n_dev, min_w=cfg.min_bucket_width,
                           max_w=cfg.max_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
-                          chunk_rows=cfg.chunk_rows)
+                          chunk_rows=cfg.chunk_rows,
+                          octave=cfg.octave_points)
         self.row_plan = cached_build(
             cfg.plan_cache_dir, "sh_row", train_csr, row_params,
             lambda: build_sharded_row_plan(
                 train_csr, self.n_dev, cfg.min_bucket_width,
-                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows))
+                cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
+                octave_points=cfg.octave_points))
         self.reduce_plan = cached_build(
             cfg.plan_cache_dir, "sh_reduce", train_csr,
             dict(row_params, block_rows=block_rows),

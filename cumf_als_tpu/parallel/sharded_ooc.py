@@ -110,14 +110,15 @@ class ShardedOutOfCoreALS:
         row_params = dict(n_dev=self.n_dev, min_w=cfg.min_bucket_width,
                           max_w=cfg.max_bucket_width,
                           chunk_nnz=cfg.chunk_nnz,
-                          chunk_rows=cfg.chunk_rows)
+                          chunk_rows=cfg.chunk_rows,
+                          octave=cfg.octave_points)
         self.row_plan: ShardedRowPlan = cached_build(
             cfg.plan_cache_dir, "sh_row", train_csr,
             dict(row_params, lazy=lazy),
             lambda: build_sharded_row_plan(
                 train_csr, self.n_dev, cfg.min_bucket_width,
                 cfg.max_bucket_width, cfg.chunk_nnz, cfg.chunk_rows,
-                lazy=lazy),
+                lazy=lazy, octave_points=cfg.octave_points),
             csr_for_lazy=train_csr if lazy else None)
 
         # --- theta phase: per-device panel plans over LOCAL X ids.
@@ -142,7 +143,26 @@ class ShardedOutOfCoreALS:
         self.theta_steps, self.n_panels = aligned.steps, aligned.n_panels
         self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
 
-        batch = cfg.chunk_rows
+        # --- device-resident X placement (r3) ---
+        # x_placement="device": each device's X shard stays in HBM for
+        # the whole run (padded to whole panels so the theta-phase
+        # panel reads are static slices); per-row CG solves COLD-start,
+        # so X never crosses the host boundary — the tunneled-chip D2H
+        # path has no fast lane (~35 MB/s, docs/PERFORMANCE.md r3). At
+        # reference-hugewiki scale the bf16 shard is 12.8 GB on one
+        # v5e — the reference needed pinned host XT_h because its 12 GB
+        # GPUs could not hold X (hugewiki.cu:2300-2302).
+        self.x_on_device = cfg.x_placement == "device"
+        self.m_loc_pad = self.n_panels * self.panel_size
+        self._x_dev = None
+        self._test_order = None
+
+        # Theta accumulator row padding: multiple of 1024 (divisible by
+        # every pallas CG row block) — NOT of chunk_rows, which the
+        # streamed X phase wants large (the fused kernel keeps Gram in
+        # VMEM, so chunk_rows no longer bounds an HBM buffer) and which
+        # would balloon the (n_pad, f, f) accumulators.
+        batch = min(cfg.chunk_rows, 1024)
         n = csc.num_rows
         self.n_pad = -(-(n + 1) // batch) * batch
         nnz_pad = np.zeros(self.n_pad, np.int32)
@@ -236,24 +256,17 @@ class ShardedOutOfCoreALS:
         return np.float32
 
     # ---------- X phase ----------
-    def _x_solve_fn(self, width: int, r: int):
-        """shard_map'd streamed-chunk solve: no device-resident X.
-        (theta, x0, nnz, cols, vals) -> solved rows, all but theta
-        sharded (n_dev, ...)."""
-        key = ("xs", width, r)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
+    def _chunk_solver(self):
+        """Shared per-chunk row solver: (theta, x0, nnz, cols, vals)
+        all device-local f32/int32 -> solved rows (R, f_pad) f32. Used
+        by both X placements."""
         cfg = self.cfg
-
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
 
-        def body(theta, x0, nnz, cols, vals):
-            cols = cols[0].astype(jnp.int32)   # uint16 stream transport
-            vals = vals[0].astype(jnp.float32)
-            x0 = x0[0].astype(jnp.float32)
+        def solve_rows(theta, x0, nnz, cols, vals):
             if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
                 theta = theta.astype(jnp.bfloat16)
             theta_ext = jnp.concatenate(
@@ -262,19 +275,37 @@ class ShardedOutOfCoreALS:
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
                 solved, _se = gather_gram_cg(
-                    theta_ext, cols, vals, nnz[0], x0, cfg.lam,
+                    theta_ext, cols, vals, nnz, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                     factor_dtype=cfg.factor_dtype)
             else:
                 from cumf_als_tpu.ops.gram import gram_rhs
-                a, b = gram_rhs(theta_ext, cols, vals, nnz[0],
+                a, b = gram_rhs(theta_ext, cols, vals, nnz,
                                 cfg.lam, precision=cfg.gram_precision,
                                 factor_dtype=cfg.factor_dtype,
                                 gram_dtype=cfg.gram_dtype)
                 solved = solve(a, b, x0, solver=cfg.solver,
                                cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                                backend=cfg.backend)
-                solved = solved * (nnz[0] > 0)[:, None]
+            return solved * (nnz > 0)[:, None]
+
+        return solve_rows
+
+    def _x_solve_fn(self, width: int, r: int):
+        """shard_map'd streamed-chunk solve: no device-resident X.
+        (theta, x0, nnz, cols, vals) -> solved rows, all but theta
+        sharded (n_dev, ...)."""
+        key = ("xs", width, r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        solve_rows = self._chunk_solver()
+
+        def body(theta, x0, nnz, cols, vals):
+            cols = cols[0].astype(jnp.int32)   # uint16 stream transport
+            vals = vals[0].astype(jnp.float32)
+            x0 = x0[0].astype(jnp.float32)
+            solved = solve_rows(theta, x0, nnz[0], cols, vals)
             if cfg.factor_dtype == "bf16":  # halve the D2H write-back
                 solved = solved.astype(jnp.bfloat16)
             return solved[None]
@@ -310,10 +341,15 @@ class ShardedOutOfCoreALS:
                               x_host, safe_rows[..., None], axis=1),
                           np.zeros((), x_host.dtype))
             fn = self._x_solve_fn(ch.width, rows.shape[1])
+            from cumf_als_tpu.utils.transfer import fast_put
             solved = call_with_vmem_backoff(
-                fn, theta, self._compact_factors(x0), nnz,
-                self._compact_ids(cols, self.row_plan.num_cols + 1),
-                self._compact_vals(vals),
+                fn, theta, fast_put(self._compact_factors(x0),
+                                    self._shard),
+                fast_put(nnz, self._shard),
+                fast_put(self._compact_ids(cols,
+                                           self.row_plan.num_cols + 1),
+                         self._shard),
+                fast_put(self._compact_vals(vals), self._shard),
                 uses_pallas=backend_uses_pallas(self.cfg))
             pending.append((rows, nnz, solved))
             if len(pending) >= 2:
@@ -328,6 +364,57 @@ class ShardedOutOfCoreALS:
         for d in range(rows.shape[0]):
             valid = nnz[d] > 0
             x_host[d, rows[d][valid]] = out[d][valid]
+
+    # ---------- X phase, device-resident placement ----------
+    def _x_scatter_fn(self, width: int, r: int):
+        """shard_map'd streamed-chunk solve scattering straight into the
+        HBM-resident X shard (donated in-place): (x_dev, theta, rows,
+        nnz, cols, vals) -> x_dev. Cold-started CG — no x0 upload, no
+        solved-rows D2H (cf. the reference's per-batch H2D/D2H of XT_h
+        slices, hugewiki.cu:2560-2572)."""
+        key = ("xdev", width, r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        solve_rows = self._chunk_solver()
+
+        def body(x_dev, theta, rows, nnz, cols, vals):
+            rows = rows[0].astype(jnp.int32)
+            cols = cols[0].astype(jnp.int32)   # uint16 stream transport
+            vals = vals[0].astype(jnp.float32)
+            x0 = jnp.zeros((rows.shape[0], theta.shape[1]), jnp.float32)
+            solved = solve_rows(theta, x0, nnz[0], cols, vals)
+            # dummy rows (sentinel id m_loc) write zeros into the panel
+            # padding region, which must stay zero anyway; ids past
+            # m_loc_pad (exact-multiple case) drop
+            xd = x_dev[0].at[rows].set(solved.astype(x_dev.dtype),
+                                       mode="drop")
+            return xd[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(0,),
+                     in_shardings=(self._shard, self._repl, self._shard,
+                                   self._shard, self._shard, self._shard))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _x_phase_device(self, theta: jnp.ndarray) -> None:
+        from cumf_als_tpu.utils.transfer import fast_put
+        for ci, ch in enumerate(self.row_plan.chunks):
+            _maybe_log_rss("x", ci)
+            rows, nnz, cols, vals = ch.materialize()
+            fn = self._x_scatter_fn(ch.width, rows.shape[1])
+            self._x_dev = call_with_vmem_backoff(
+                fn, self._x_dev, theta,
+                fast_put(rows, self._shard),
+                fast_put(nnz, self._shard),
+                fast_put(self._compact_ids(cols, self.row_plan.num_cols
+                                           + 1), self._shard),
+                fast_put(self._compact_vals(vals), self._shard),
+                uses_pallas=backend_uses_pallas(self.cfg))
 
     # ---------- theta phase ----------
     def _accum_fn(self, width: int, r: int):
@@ -424,6 +511,26 @@ class ShardedOutOfCoreALS:
         self._fn_cache[key] = fn
         return fn
 
+    def _panel_xp_fn(self):
+        """Device-X panel read: (x_dev, panel_start) -> the (n_dev, s,
+        f_pad) panel, a static-shape dynamic_slice of the HBM shard."""
+        key = ("pxp",)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        s = self.panel_size
+
+        def body(x_dev, p0):
+            xp = jax.lax.dynamic_slice(
+                x_dev[0], (p0, jnp.int32(0)), (s, x_dev.shape[2]))
+            return xp[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh, in_specs=(P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS), check_vma=False)
+        fn = jax.jit(sm, in_shardings=(self._shard, self._repl))
+        self._fn_cache[key] = fn
+        return fn
+
     # Above this many partial ADDS PER THETA ROW, bf16 Gram accumulators
     # are force-promoted to f32: each row's (A, b) receives one partial
     # per (panel, width-chunk) subrow covering it, and bf16 swamping
@@ -465,16 +572,28 @@ class ShardedOutOfCoreALS:
             out_shardings=(self._shard, self._shard))
         a_buf, b_buf = zeros()
 
-        def panel_slice(p):
-            lo = p * s
-            sl = x_host[:, lo:min(lo + s, m_loc)]
-            if sl.shape[1] < s:
-                sl = np.pad(sl, ((0, 0), (0, s - sl.shape[1]), (0, 0)))
-            # async device_put, issued a panel ahead: H2D overlaps the
-            # previous panel's accumulation (the reference's OpenMP
-            # streaming, hugewiki.cu:2629-2680)
-            return jax.device_put(self._compact_factors(
-                np.ascontiguousarray(sl)), self._shard)
+        from cumf_als_tpu.utils.transfer import fast_put
+
+        if self.x_on_device:
+            slice_fn = self._panel_xp_fn()
+
+            def panel_slice(p):
+                # static-shape dynamic_slice of the HBM-resident shard:
+                # no host traffic at all for the panel reads
+                return slice_fn(self._x_dev,
+                                jnp.asarray(p * s, jnp.int32))
+        else:
+            def panel_slice(p):
+                lo = p * s
+                sl = x_host[:, lo:min(lo + s, m_loc)]
+                if sl.shape[1] < s:
+                    sl = np.pad(sl,
+                                ((0, 0), (0, s - sl.shape[1]), (0, 0)))
+                # chunked async put, issued a panel ahead: H2D overlaps
+                # the previous panel's accumulation (the reference's
+                # OpenMP streaming, hugewiki.cu:2629-2680)
+                return fast_put(self._compact_factors(
+                    np.ascontiguousarray(sl)), self._shard)
 
         panel_ids = sorted({st.panel for st in self.theta_steps})
         nxt_i = 0
@@ -492,9 +611,10 @@ class ShardedOutOfCoreALS:
             fn = self._accum_fn(st.width, rows.shape[1])
             a_buf, b_buf = call_with_vmem_backoff(
                 fn, a_buf, b_buf, xp,
-                self._compact_ids(rows, self.n_pad + 1),
-                self._compact_ids(cols, s + 1),
-                self._compact_vals(vals),
+                fast_put(self._compact_ids(rows, self.n_pad + 1),
+                         self._shard),
+                fast_put(self._compact_ids(cols, s + 1), self._shard),
+                fast_put(self._compact_vals(vals), self._shard),
                 uses_pallas=backend_uses_pallas(self.cfg))
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
@@ -540,6 +660,108 @@ class ShardedOutOfCoreALS:
             out[ids[valid]] = x_host[d, valid, :self.cfg.f]
         return out
 
+    def _inverse_row_maps(self):
+        """(owner device, local id) of every global row, cached."""
+        if getattr(self, "_inv_maps", None) is None:
+            m_loc = self.row_plan.m_loc
+            inv_dev = np.zeros(self.row_plan.m, np.int32)
+            inv_loc = np.zeros(self.row_plan.m, np.int32)
+            for d in range(self.n_dev):
+                ids = self.row_plan.global_ids[d]
+                valid = ids < self.row_plan.m
+                inv_dev[ids[valid]] = d
+                inv_loc[ids[valid]] = np.arange(
+                    m_loc, dtype=np.int32)[valid]
+            self._inv_maps = (inv_dev, inv_loc)
+        return self._inv_maps
+
+    def _test_eval_fn(self, c: int):
+        """Device-X test-RMSE chunk: (x_dev, theta, rows, cols, vals,
+        cnt) -> replicated partial squared error (psum over the mesh —
+        each test entry is owned by exactly one device's X shard)."""
+        key = ("teval", c)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        def body(x_dev, theta, rows, cols, vals, cnt):
+            rows = rows[0].astype(jnp.int32)
+            cols = cols[0].astype(jnp.int32)
+            vals = vals[0].astype(jnp.float32)
+            xg = x_dev[0][rows].astype(jnp.float32)
+            tg = theta[cols]
+            pred = jnp.sum(xg * tg, axis=-1)
+            mask = jnp.arange(rows.shape[0]) < cnt[0, 0]
+            e = jnp.where(mask, vals - pred, 0.0)
+            return jax.lax.psum(jnp.dot(e, e), DATA_AXIS)
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS),) + (P(),) + (P(DATA_AXIS),) * 4,
+            out_specs=P(), check_vma=False)
+        fn = jax.jit(sm, in_shardings=(self._shard, self._repl)
+                     + (self._shard,) * 4)
+        self._fn_cache[key] = fn
+        return fn
+
+    def _test_rmse_device(self, theta: jnp.ndarray) -> float:
+        """Test RMSE against the HBM-resident X: gathers/dots run on
+        device; only the (ids, vals) test stream crosses H2D (the
+        reference runs RMSE_CSC on GPU0 the same way,
+        hugewiki.cu:2752-2857)."""
+        from cumf_als_tpu.utils.transfer import fast_put
+        coo = self.test_coo
+        if coo is None or not coo.nnz:
+            return float("nan")
+        inv_dev, inv_loc = self._inverse_row_maps()
+        if self._test_order is None:
+            if self.n_dev == 1:
+                self._test_order = ()   # no regrouping needed
+            else:
+                order = np.argsort(inv_dev[coo.row], kind="stable")
+                counts = np.bincount(inv_dev[coo.row],
+                                     minlength=self.n_dev)
+                self._test_order = (order, counts)
+        step = 1 << 22
+        if self.n_dev == 1:
+            t_loc, starts = coo.nnz, np.zeros(1, np.int64)
+        else:
+            order, counts = self._test_order
+            t_loc = int(counts.max())
+            starts = np.zeros(self.n_dev, np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+        parts = []
+        for lo in range(0, t_loc, step):
+            c = min(step, t_loc - lo)
+            c_pad = max(8, -(-c // 8) * 8)
+            rows = np.zeros((self.n_dev, c_pad), np.int32)
+            cols = np.zeros((self.n_dev, c_pad), np.int32)
+            vals = np.zeros((self.n_dev, c_pad), np.float32)
+            cnt = np.zeros((self.n_dev, 1), np.int32)
+            for d in range(self.n_dev):
+                if self.n_dev == 1:
+                    sel = slice(lo, min(coo.nnz, lo + step))
+                    r = coo.row[sel]
+                    co = coo.col[sel]
+                    v = coo.data[sel]
+                else:
+                    k = min(max(0, int(counts[d]) - lo), step)
+                    idx = order[starts[d] + lo:starts[d] + lo + k]
+                    r, co, v = coo.row[idx], coo.col[idx], coo.data[idx]
+                cnt[d, 0] = r.shape[0]
+                rows[d, :r.shape[0]] = inv_loc[r]
+                cols[d, :co.shape[0]] = co
+                vals[d, :v.shape[0]] = v
+            fn = self._test_eval_fn(c_pad)
+            parts.append(fn(
+                self._x_dev, theta,
+                fast_put(rows, self._shard),
+                fast_put(self._compact_ids(
+                    cols, self.train_csc.num_rows), self._shard),
+                fast_put(self._compact_vals(vals), self._shard),
+                jax.device_put(cnt, self._shard)))
+        se = float(jnp.sum(jnp.stack(parts)))
+        return float(np.sqrt(se / coo.nnz))
+
     def _test_rmse(self, x_host: np.ndarray, theta: jnp.ndarray) -> float:
         coo = self.test_coo
         if coo is None or not coo.nnz:
@@ -548,14 +770,7 @@ class ShardedOutOfCoreALS:
         # chunked: at hugewiki scale (344M test entries, m=50M) a full
         # x[coo.row] gather would materialize ~140 GB
         f = self.cfg.f
-        m_loc = self.row_plan.m_loc
-        inv_dev = np.zeros(self.row_plan.m, np.int32)
-        inv_loc = np.zeros(self.row_plan.m, np.int32)
-        for d in range(self.n_dev):
-            ids = self.row_plan.global_ids[d]
-            valid = ids < self.row_plan.m
-            inv_dev[ids[valid]] = d
-            inv_loc[ids[valid]] = np.arange(m_loc, dtype=np.int32)[valid]
+        inv_dev, inv_loc = self._inverse_row_maps()
         se = 0.0
         step = 1 << 23
         for lo in range(0, coo.nnz, step):
@@ -578,15 +793,29 @@ class ShardedOutOfCoreALS:
         final unshard copy; the sharded store stays on self.x_host."""
         cfg = self.cfg
         theta0 = theta0 * (self.theta_nnz > 0).astype(np.float32)[:, None]
-        if x_host0 is not None:
+        if self.x_on_device:
+            # HBM-resident X shards, cold-started CG: x0/x_host0 are
+            # ignored (X is fully determined by theta each iteration;
+            # cross-process state is theta alone)
+            x_host = None
+            self.x_host = None
+            zeros = jax.jit(
+                lambda: jnp.zeros(
+                    (self.n_dev, self.m_loc_pad, cfg.f_pad),
+                    jnp.bfloat16 if cfg.factor_dtype == "bf16"
+                    else jnp.float32),
+                out_shardings=self._shard)
+            self._x_dev = zeros()
+        elif x_host0 is not None:
             x_host = np.ascontiguousarray(
                 x_host0.astype(self._x_store_dtype(), copy=False))
+            self.x_host = x_host
         else:
             if x0.any():  # all-zero x0 (reference init): skip the 20 GB+
                 x0 = x0 * (np.diff(self.train_csr.indptr) > 0
                            ).astype(np.float32)[:, None]
             x_host = self.shard_x_host(x0)
-        self.x_host = x_host
+            self.x_host = x_host
         th = np.zeros((self.train_csc.num_rows, cfg.f_pad), np.float32)
         th[:, :cfg.f] = theta0
         theta = jax.device_put(jnp.asarray(th), self._repl)
@@ -594,20 +823,30 @@ class ShardedOutOfCoreALS:
         if cfg.verbose:
             print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
                   f"f: {cfg.f}, nnz: {self.train_csr.nnz} ")
-            print(f"*******mesh: {self.n_dev} devices; X host-resident "
+            place = ("HBM-resident" if self.x_on_device
+                     else "host-resident")
+            print(f"*******mesh: {self.n_dev} devices; X {place} "
                   f"({self.row_plan.m_loc} rows/device), "
-                  f"{self.n_panels} local X panels streamed per theta "
-                  f"update.")
+                  f"{self.n_panels} local X panels "
+                  f"{'sliced' if self.x_on_device else 'streamed'} "
+                  f"per theta update.")
             print("*******start iterations...", flush=True)
         for it in range(start_iter, cfg.iters):
             t0 = seconds()
-            self._x_phase(x_host, theta)
+            if self.x_on_device:
+                self._x_phase_device(theta)
+                if cfg.debug_timing:
+                    self._x_dev.block_until_ready()
+            else:
+                self._x_phase(x_host, theta)
             tx = seconds() - t0
             if cfg.debug_timing:
                 print(f"update X run {tx:f} seconds, gridSize: {cfg.m}, "
                       f"blockSize {cfg.f}.", flush=True)
             t0 = seconds()
             theta, se = self._theta_phase(x_host, theta)
+            # (device placement reads panels straight from self._x_dev;
+            # x_host is None there)
             theta.block_until_ready()
             tth = seconds() - t0
             if cfg.debug_timing:
@@ -615,7 +854,9 @@ class ShardedOutOfCoreALS:
                       f"{cfg.n}, blockSize {cfg.f}.", flush=True)
             train_rmse = float(np.sqrt(max(se, 0.0) /
                                        self.train_csr.nnz))
-            test_rmse = self._test_rmse(x_host, theta)
+            test_rmse = (self._test_rmse_device(theta)
+                         if self.x_on_device
+                         else self._test_rmse(x_host, theta))
             if cfg.verbose:
                 print(f"--------- Train RMSE in iter {it}: {train_rmse:f}")
                 if np.isfinite(test_rmse):
@@ -632,9 +873,22 @@ class ShardedOutOfCoreALS:
                     (it + 1) % cfg.checkpoint_every == 0:
                 from cumf_als_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_dir, it,
-                                self.unshard_x_host(x_host),
+                                self.fetch_x() if self.x_on_device
+                                else self.unshard_x_host(x_host),
                                 np.asarray(theta)[:, :cfg.f], cfg)
-        return ALSResult(x=(None if keep_sharded
-                            else self.unshard_x_host(x_host)),
+        if keep_sharded:
+            x_out = None
+        elif self.x_on_device:
+            x_out = self.fetch_x()
+        else:
+            x_out = self.unshard_x_host(x_host)
+        return ALSResult(x=x_out,
                          theta=np.asarray(theta)[:, :cfg.f],
                          history=history)
+
+    def fetch_x(self) -> np.ndarray:
+        """D2H the HBM-resident X as a global (m, f) array. Slow on
+        tunneled chips (~35 MB/s D2H, no fast lane) — final-output or
+        small-problem use only; full-scale runs keep X on device."""
+        xh = np.asarray(self._x_dev)[:, :self.row_plan.m_loc]
+        return self.unshard_x_host(xh)

@@ -225,3 +225,65 @@ class TestShardedResume:
             x1, th1, start_iter=it + 1)
         np.testing.assert_allclose(rest.x, full.x, rtol=1e-5, atol=1e-6)
         assert rest.history[-1].iteration == full.history[-1].iteration
+
+
+class TestDeviceResidentX:
+    """x_placement="device" (r3): X shards live in HBM, CG cold-starts,
+    panels are device slices, test RMSE evaluates on device. With an
+    exact (start-independent) solver the trajectory must be IDENTICAL
+    to the host placement."""
+
+    @pytest.mark.parametrize("ndev", [1, 4])
+    def test_matches_host_placement_exactly(self, medium_problem, ndev):
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = medium_problem
+        base = dict(solver="cholesky", panel_size=32, chunk_rows=64,
+                    iters=3)
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16,
+                               seed=1)
+        host = ShardedOutOfCoreALS(
+            _cfg(train, **base, x_placement="host"), train, None, test,
+            n_devices=ndev).run(x0, th0)
+        dev = ShardedOutOfCoreALS(
+            _cfg(train, **base, x_placement="device"), train, None,
+            test, n_devices=ndev).run(x0, th0)
+        for a, b in zip(host.history, dev.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-6)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=1e-6)
+        np.testing.assert_allclose(dev.x, host.x, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(dev.theta, host.theta, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_cold_start_cg_converges(self, medium_problem):
+        """CG with cold start and a raised iteration budget (the
+        reference's own hugewiki choice: cgIter=100 against the
+        standalone CG_ITER=6, hugewiki.cu:2569 vs als.cu:32) matches
+        the exact-solver trajectory within the accuracy budget."""
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = medium_problem
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16,
+                               seed=1)
+        exact = ShardedOutOfCoreALS(
+            _cfg(train, solver="cholesky", panel_size=32, chunk_rows=64,
+                 x_placement="device"), train, None, test,
+            n_devices=2).run(x0, th0)
+        cg = ShardedOutOfCoreALS(
+            _cfg(train, solver="cg", cg_iters=25, panel_size=32,
+                 chunk_rows=64, x_placement="device"), train, None,
+            test, n_devices=2).run(x0, th0)
+        for a, b in zip(exact.history, cg.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=2e-3)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
+
+    def test_keep_sharded_and_fetch(self, small_problem):
+        from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
+        train, test = small_problem
+        cfg = _cfg(train, solver="cholesky", panel_size=16,
+                   chunk_rows=32, iters=2, x_placement="device")
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=0)
+        model = ShardedOutOfCoreALS(cfg, train, None, test, n_devices=2)
+        res = model.run(x0, th0, keep_sharded=True)
+        assert res.x is None
+        x = model.fetch_x()
+        assert x.shape == (cfg.m, cfg.f)
+        assert np.isfinite(x).all()
