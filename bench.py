@@ -141,6 +141,13 @@ def main() -> int:
                    help="run the sharded (SPMD) path over N devices")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the training loop N times and report the "
+                        "median per-iteration time across runs plus the "
+                        "min/max spread — a single-run 2%% swing can't "
+                        "decide a verdict (plans/compiles are reused, "
+                        "so extra runs cost only their steady-state "
+                        "iterations)")
     args = p.parse_args()
 
     if args.platform:
@@ -208,9 +215,18 @@ def main() -> int:
             f"theta={h.theta_seconds:.3f}s train_rmse={h.train_rmse:.4f} "
             f"test_rmse={h.test_rmse:.4f}")
 
-    iter_times = [h.x_seconds + h.theta_seconds for h in res.history[1:]]
-    sec_per_iter = float(np.median(iter_times)) if iter_times else \
-        res.history[0].x_seconds + res.history[0].theta_seconds
+    def run_median(r):
+        its = [h.x_seconds + h.theta_seconds for h in r.history[1:]]
+        return float(np.median(its)) if its else \
+            r.history[0].x_seconds + r.history[0].theta_seconds
+
+    run_medians = [run_median(res)]
+    for rep in range(1, args.repeat):
+        rr = model.run(x0, th0)
+        run_medians.append(run_median(rr))
+        log(f"[bench] repeat {rep}: {run_medians[-1]:.4f} s/iter")
+    sec_per_iter = float(np.median(run_medians))
+    spread = (float(min(run_medians)), float(max(run_medians)))
     # effective Gram throughput: 2 phases * 2*nnz*f_pad^2 flops
     gram_flops = 4.0 * train.nnz * cfg.f_pad ** 2
     gflops = gram_flops / sec_per_iter / 1e9
@@ -228,6 +244,10 @@ def main() -> int:
         "backend": args.backend,
         "device": str(jax.devices()[0]),
     }
+    if args.repeat > 1:
+        out["repeats"] = args.repeat
+        out["spread_min"] = round(spread[0], 4)
+        out["spread_max"] = round(spread[1], 4)
     print(json.dumps(out), flush=True)
     return 0
 

@@ -59,9 +59,11 @@ def gram_rhs(
     to zero.
     """
     f = table_ext.shape[1]
-    g = jnp.take(table_ext, cols, axis=0)           # (R, P, f)
     if factor_dtype == "bf16":                       # CUMF_USE_HALF analog
-        g = g.astype(jnp.bfloat16)
+        # cast the table, not the gathered copy: the gather then moves
+        # half the bytes (cheap one-pass cast of the small factor)
+        table_ext = table_ext.astype(jnp.bfloat16)
+    g = jnp.take(table_ext, cols, axis=0)           # (R, P, f)
     prec = _PRECISIONS[precision]
     a = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
                    preferred_element_type=jnp.float32)

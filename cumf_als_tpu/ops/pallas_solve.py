@@ -234,8 +234,8 @@ def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
     rsold = jnp.sum(r * r, axis=-1, keepdims=True)
     active = jnp.ones_like(rsold)
 
-    def body(it, carry):
-        x, r, p, rsold, active = carry
+    def body(carry):
+        it, x, r, p, rsold, active = carry
         ap = matvec(p)
         pap = jnp.sum(p * ap, axis=-1, keepdims=True)
         nonzero = (jnp.abs(pap) > 0).astype(jnp.float32)
@@ -257,10 +257,20 @@ def _cg_loop(a, b, x, cg_iters: int, cg_tol: float,
         beta = still * rsnew / safe_old
         p = still * (r + beta * p) + (1.0 - still) * p
         rsold = still * rsnew + (1.0 - still) * rsold
-        return x, r, p, rsold, still
+        return it + 1, x, r, p, rsold, still
 
-    x, *_ = jax.lax.fori_loop(0, cg_iters, body,
-                              (x, r, p, rsold, active))
+    # Block-level early exit (r3): once EVERY system in the block has
+    # taken its per-system exit (rsnew < cg_tol — cg.cu:195's break),
+    # the remaining fixed iterations would be masked no-ops; a while
+    # loop skips them with bit-identical results. In steady-state ALS
+    # the warm-started solves converge in 1-3 iterations, so this
+    # erases most of the CG tail the reference always pays.
+    def cond(carry):
+        it, x, r, p, rsold, active = carry
+        return jnp.logical_and(it < cg_iters, jnp.max(active) > 0)
+
+    _, x, *_ = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), x, r, p, rsold, active))
     return x
 
 
@@ -397,9 +407,12 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
     regularizer — the caller reduces across panels first). A accumulates
     f32 in VMEM; out_dtype="bfloat16" writes the partial bf16 (halving
     its HBM write — the CUMF_TT_FP16 analog, reference als.cu:30-31)."""
-    g = jnp.take(table_ext, cols, axis=0)
     if factor_dtype == "bf16":
-        g = g.astype(jnp.bfloat16)
+        # cast the TABLE, not the gathered copy: the gather then moves
+        # half the bytes (and XLA fuses the table cast into one cheap
+        # pass over the small factor)
+        table_ext = table_ext.astype(jnp.bfloat16)
+    g = jnp.take(table_ext, cols, axis=0)
     g, vals = _maybe_pad_p(g, vals, g.shape[2])
     r, p, f = g.shape
     gi = jnp.dtype(g.dtype).itemsize
@@ -442,9 +455,9 @@ def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
                    cg_tol=1e-4, factor_dtype="f32"):
     """XLA gather feeding the fused kernel: one jit for the whole chunk
     update. table_ext is the zero-extended fixed factor."""
-    g = jnp.take(table_ext, cols, axis=0)
     if factor_dtype == "bf16":
-        g = g.astype(jnp.bfloat16)
+        table_ext = table_ext.astype(jnp.bfloat16)  # cast BEFORE gather
+    g = jnp.take(table_ext, cols, axis=0)
     return fused_gram_cg(g, vals, nnz, x0, lam, cg_iters=cg_iters,
                          cg_tol=cg_tol)
 

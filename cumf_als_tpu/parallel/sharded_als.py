@@ -131,6 +131,7 @@ class ShardedALS:
         self._test_plan = (self._build_coo_plan(test_coo)
                            if test_coo is not None and test_coo.nnz else None)
         self._fn_cache = {}
+        self._cpu_mesh = self.mesh.devices.flat[0].platform == "cpu"
 
     # ---------- factor layout ----------
     def shard_x(self, x: np.ndarray) -> jnp.ndarray:
@@ -600,15 +601,30 @@ class ShardedALS:
                 x_sharded = call_with_vmem_backoff(
                     fn, theta, x_sharded, *arrs,
                     uses_pallas=backend_uses_pallas(self.cfg))
-        se_parts = []
-        for arrs, bl in zip(block_data, self.reduce_plan.blocks):
+        # running device-scalar accumulation: an eager jnp.stack over
+        # hundreds of block scalars abort-crashed XLA:CPU on the
+        # realistic-shape test (r3); a chained add dispatches one tiny
+        # op per block and syncs once at the float()
+        se_acc = None
+        for i, (arrs, bl) in enumerate(zip(block_data,
+                                           self.reduce_plan.blocks)):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
             theta, se = call_with_vmem_backoff(
                 fn, x_sharded, theta, *arrs,
                 uses_pallas=backend_uses_pallas(self.cfg))
-            se_parts.append(se)
-        se_total = float(jnp.sum(jnp.stack(se_parts))) if se_parts else 0.0
+            se_acc = se if se_acc is None else se_acc + se
+            self._maybe_throttle(i, theta)
+        se_total = float(se_acc) if se_acc is not None else 0.0
         return x_sharded, theta, se_total
+
+    def _maybe_throttle(self, i: int, ref) -> None:
+        """Simulated-mesh dispatch throttle: on the CPU backend the
+        async queue outruns execution, and hundreds of enqueued block
+        programs hold their gather buffers live at once — observed as
+        an XLA:CPU abort at ~14 GB on the realistic-shape test (r3).
+        Real accelerators bound their queue; no-op there."""
+        if self._cpu_mesh and (i + 1) % 32 == 0:
+            jax.block_until_ready(ref)
 
     def run(self, x0: np.ndarray, theta0: np.ndarray,
             start_iter: int = 0) -> ALSResult:

@@ -157,6 +157,7 @@ class ShardedOutOfCoreALS:
         self._x_dev = None
         self._test_order = None
 
+
         # Theta accumulator row padding: multiple of 1024 (divisible by
         # every pallas CG row block) — NOT of chunk_rows, which the
         # streamed X phase wants large (the fused kernel keeps Gram in
@@ -168,6 +169,22 @@ class ShardedOutOfCoreALS:
         nnz_pad = np.zeros(self.n_pad, np.int32)
         nnz_pad[:n] = self.theta_nnz
         self._theta_nnz_pad = jnp.asarray(nnz_pad)
+        # Compacted-stream disk cache (lazy plans only — eager plans
+        # already hold their arrays in RAM): after the first pass the
+        # per-iteration host cost of a streamed phase collapses to
+        # slicing mmap'd pages (utils/stream_cache.py).
+        self._x_stream = self._theta_stream = None
+        if cfg.plan_cache_dir and lazy:
+            from cumf_als_tpu.utils.plan_cache import (
+                dataset_fingerprint, plan_key)
+            from cumf_als_tpu.utils.stream_cache import StreamCache
+            fp = dataset_fingerprint(train_csr)
+            sv = cfg.stream_val_dtype
+            self._x_stream = StreamCache(cfg.plan_cache_dir, plan_key(
+                "xstream", fp, dict(row_params, lazy=lazy, sv=sv)))
+            self._theta_stream = StreamCache(cfg.plan_cache_dir, plan_key(
+                "thstream", fp, dict(th_params, sv=sv,
+                                     n_pad=self.n_pad)))
 
     def _build_per_dev_plans(self, lazy: bool):
         cfg = self.cfg
@@ -403,18 +420,33 @@ class ShardedOutOfCoreALS:
 
     def _x_phase_device(self, theta: jnp.ndarray) -> None:
         from cumf_als_tpu.utils.transfer import fast_put
+        sc = self._x_stream
+        if sc is not None:
+            sc.begin()
         for ci, ch in enumerate(self.row_plan.chunks):
             _maybe_log_rss("x", ci)
-            rows, nnz, cols, vals = ch.materialize()
+            ent = sc.get(ci) if sc is not None else None
+            if ent is None:
+                rows, nnz, cols, vals = ch.materialize()
+                cols = self._compact_ids(cols,
+                                         self.row_plan.num_cols + 1)
+                vals = self._compact_vals(vals)
+                if sc is not None and sc.building:
+                    sc.put(ci, dict(rows=rows, nnz=nnz, cols=cols,
+                                    vals=vals))
+            else:
+                rows, nnz, cols, vals = (ent["rows"], ent["nnz"],
+                                         ent["cols"], ent["vals"])
             fn = self._x_scatter_fn(ch.width, rows.shape[1])
             self._x_dev = call_with_vmem_backoff(
                 fn, self._x_dev, theta,
                 fast_put(rows, self._shard),
                 fast_put(nnz, self._shard),
-                fast_put(self._compact_ids(cols, self.row_plan.num_cols
-                                           + 1), self._shard),
-                fast_put(self._compact_vals(vals), self._shard),
+                fast_put(cols, self._shard),
+                fast_put(vals, self._shard),
                 uses_pallas=backend_uses_pallas(self.cfg))
+        if sc is not None and sc.building:
+            sc.finish()
 
     # ---------- theta phase ----------
     def _accum_fn(self, width: int, r: int):
@@ -469,6 +501,74 @@ class ShardedOutOfCoreALS:
                      in_shardings=(self._shard,) * 6)
         self._fn_cache[key] = fn
         return fn
+
+    def _accum_group_fn(self, shapes_key):
+        """One jitted program accumulating a GROUP of same-panel theta
+        steps: (a_buf, b_buf, x_panel, ((rows, cols, vals), ...)) ->
+        (a_buf, b_buf). Grouping turns the per-step dispatch overhead
+        (~38k steps at full-hugewiki scale) into one dispatch per
+        (panel, signature) — the same fusion the sharded non-OOC X
+        panel phase uses (sharded_als._x_panel_group_fn)."""
+        key = ("accg", shapes_key)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        prec = _PRECISIONS[cfg.gram_precision]
+
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(a_buf, b_buf, x_panel, steps):
+            xp = x_panel[0]
+            if cfg.factor_dtype == "bf16":
+                xp = xp.astype(jnp.bfloat16)
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((1, xp.shape[1]), xp.dtype)], axis=0)
+            a, b = a_buf[0], b_buf[0]
+            for rows, cols, vals in steps:
+                rows = rows[0].astype(jnp.int32)
+                cols = cols[0].astype(jnp.int32)
+                vals = vals[0].astype(jnp.float32)
+                if use_pallas:
+                    from cumf_als_tpu.ops.pallas_solve import \
+                        gather_gram_out
+                    a_part, b_part = gather_gram_out(
+                        xp, cols, vals, out_dtype=str(a.dtype))
+                else:
+                    g = jnp.take(xp, cols, axis=0)
+                    a_part = jnp.einsum(
+                        "rpf,rpg->rfg", g, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+                    b_part = jnp.einsum(
+                        "rp,rpf->rf", vals, g, precision=prec,
+                        preferred_element_type=jnp.float32)
+                a = a.at[rows].add(a_part.astype(a.dtype), mode="drop")
+                b = b.at[rows].add(b_part, mode="drop")
+            return a[None], b[None]
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(0, 1),
+                     in_shardings=(self._shard, self._shard, self._shard,
+                                   self._shard))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _theta_step_groups(self):
+        """Step indices grouped by panel, bounded by fuse_max_chunks."""
+        groups = []
+        for i, st in enumerate(self.theta_steps):
+            if groups and groups[-1][0] == st.panel and \
+                    len(groups[-1][1]) < self.cfg.fuse_max_chunks:
+                groups[-1][1].append(i)
+            else:
+                groups.append((st.panel, [i]))
+        return groups
 
     def _reduce_solve_fn(self):
         """psum the per-device partials over ICI (the reference's
@@ -595,27 +695,48 @@ class ShardedOutOfCoreALS:
                 return fast_put(self._compact_factors(
                     np.ascontiguousarray(sl)), self._shard)
 
-        panel_ids = sorted({st.panel for st in self.theta_steps})
+        groups = self._theta_step_groups()
+        panel_ids = [p for p, _ in groups]
+        sc = self._theta_stream
+        if sc is not None:
+            sc.begin()
         nxt_i = 0
         nxt = panel_slice(panel_ids[0]) if panel_ids else None
         cur_panel, xp = -1, None
-        for si, st in enumerate(self.theta_steps):
-            _maybe_log_rss("theta", si)
-            if st.panel != cur_panel:
+        for gi, (panel, idxs) in enumerate(groups):
+            _maybe_log_rss("theta", gi)
+            if panel != cur_panel:
                 xp = nxt
                 nxt_i += 1
                 nxt = panel_slice(panel_ids[nxt_i]) \
                     if nxt_i < len(panel_ids) else None
-                cur_panel = st.panel
-            rows, _nnz, cols, vals = st.materialize()
-            fn = self._accum_fn(st.width, rows.shape[1])
+                cur_panel = panel
+            steps = []
+            shapes_key = []
+            for i in idxs:
+                st = self.theta_steps[i]
+                shapes_key.append((st.rows.shape[1] if hasattr(
+                    st, "rows") else st._r, st.width))
+                ent = sc.get(i) if sc is not None else None
+                if ent is None:
+                    rows, _nnz, cols, vals = st.materialize()
+                    rows = self._compact_ids(rows, self.n_pad + 1)
+                    cols = self._compact_ids(cols, s + 1)
+                    vals = self._compact_vals(vals)
+                    if sc is not None and sc.building:
+                        sc.put(i, dict(rows=rows, cols=cols, vals=vals))
+                else:
+                    rows, cols, vals = (ent["rows"], ent["cols"],
+                                        ent["vals"])
+                steps.append((fast_put(rows, self._shard),
+                              fast_put(cols, self._shard),
+                              fast_put(vals, self._shard)))
+            fn = self._accum_group_fn(tuple(shapes_key))
             a_buf, b_buf = call_with_vmem_backoff(
-                fn, a_buf, b_buf, xp,
-                fast_put(self._compact_ids(rows, self.n_pad + 1),
-                         self._shard),
-                fast_put(self._compact_ids(cols, s + 1), self._shard),
-                fast_put(self._compact_vals(vals), self._shard),
+                fn, a_buf, b_buf, xp, tuple(steps),
                 uses_pallas=backend_uses_pallas(self.cfg))
+        if sc is not None and sc.building:
+            sc.finish()
         n = self.train_csc.num_rows
         theta_pad = jnp.pad(theta, ((0, self.n_pad - n), (0, 0)))
         th_new, se_term = call_with_vmem_backoff(

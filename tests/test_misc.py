@@ -80,3 +80,63 @@ def test_save_model_artifacts(tmp_path, small_problem):
                             np.float32)
             assert b.size == (a.size // f_pad)
             assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_stream_cache_roundtrip(tmp_path):
+    """utils/stream_cache.py: build-once / mmap-forever store."""
+    import numpy as np
+    from cumf_als_tpu.utils.stream_cache import StreamCache
+    sc = StreamCache(str(tmp_path), "k1")
+    assert not sc.ready
+    sc.begin()
+    a0 = np.arange(24, dtype=np.int32).reshape(2, 12)
+    v0 = np.linspace(0, 1, 8).astype(np.float16)
+    sc.put(0, dict(rows=a0, vals=v0))
+    sc.put(3, dict(rows=a0 * 2, vals=v0 * 2))
+    sc.finish()
+    assert sc.ready
+    # fresh instance reads the same entries back, zero-copy
+    sc2 = StreamCache(str(tmp_path), "k1")
+    assert sc2.ready
+    e = sc2.get(0)
+    np.testing.assert_array_equal(e["rows"], a0)
+    np.testing.assert_array_equal(e["vals"], v0)
+    e3 = sc2.get(3)
+    np.testing.assert_array_equal(e3["rows"], a0 * 2)
+    assert sc2.get(1) is None
+    # interrupted build (no finish) leaves nothing behind
+    sc3 = StreamCache(str(tmp_path), "k2")
+    sc3.begin()
+    sc3.put(0, dict(rows=a0))
+    del sc3
+    assert not StreamCache(str(tmp_path), "k2").ready
+
+
+def test_stream_cache_used_by_lazy_sharded_ooc(tmp_path, monkeypatch):
+    """Lazy sharded-OOC runs persist their compacted streams and
+    produce identical trajectories when re-run from the cache."""
+    import numpy as np
+    import cumf_als_tpu.parallel.sharded_ooc as so
+    from cumf_als_tpu.config import ALSConfig
+    from cumf_als_tpu.data.synthetic import init_factors, synthetic_ratings
+    monkeypatch.setattr(so, "LAZY_NNZ_THRESHOLD", 1)
+    train, test = synthetic_ratings(m=300, n=220, nnz=12000,
+                                    nnz_test=1500, rank=6, noise=0.1,
+                                    seed=7)
+    cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
+                    iters=2, solver="cholesky", verbose=False,
+                    debug_timing=False, chunk_nnz=1 << 11,
+                    panel_size=64, chunk_rows=64,
+                    x_placement="device", stream_val_dtype="f16",
+                    plan_cache_dir=str(tmp_path))
+    x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+    m1 = so.ShardedOutOfCoreALS(cfg, train, None, test, n_devices=2)
+    assert m1._x_stream is not None and not m1._x_stream.ready
+    r1 = m1.run(x0, th0)
+    assert m1._x_stream.ready and m1._theta_stream.ready
+    m2 = so.ShardedOutOfCoreALS(cfg, train, None, test, n_devices=2)
+    assert m2._x_stream.ready  # second process mmap-loads the streams
+    r2 = m2.run(x0, th0)
+    for a, b in zip(r1.history, r2.history):
+        assert a.train_rmse == b.train_rmse
+        assert a.test_rmse == b.test_rmse
