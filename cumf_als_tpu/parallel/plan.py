@@ -137,7 +137,9 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
                            chunk_nnz: int = 1 << 22,
                            chunk_rows: int = 1 << 14,
                            lazy: bool = False,
-                           octave_points: int = 0) -> ShardedRowPlan:
+                           octave_points: int = 0,
+                           fine_max_width: int = 1024,
+                           row_mask=None) -> ShardedRowPlan:
     """Shard csr's rows over n_dev devices with aligned bucket chunks.
     lazy=True keeps chunks as LazyShardedChunk (cols/vals materialize at
     stream time — the hugewiki-scale form).
@@ -149,8 +151,16 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
     to bound the compiled-shape count; the streamed X solve can't split
     rows (each row solves in exactly one chunk), so long rows stay on
     the pow2 tail of the grid. Ragged tail chunks round their row count
-    to the next power of two instead of padding to a full chunk."""
+    to the next power of two instead of padding to a full chunk.
+
+    fine_max_width: where the fine grid points stop (pure pow2 above);
+    the direct-theta hugewiki path raises this to 2^18 because ALL its
+    rows are tens of thousands of nonzeros long.
+    row_mask: optional bool (num_rows,) — rows where False are treated
+    as empty (planned elsewhere, e.g. the hot-row segment path)."""
     row_nnz = np.diff(csr.indptr).astype(np.int64)
+    if row_mask is not None:
+        row_nnz = np.where(row_mask, row_nnz, 0)
     assign = assign_rows_balanced(row_nnz, n_dev)
     m_loc = -(-csr.num_rows // n_dev)
     global_ids = np.full((n_dev, m_loc), csr.num_rows, np.int32)
@@ -165,7 +175,7 @@ def build_sharded_row_plan(csr: CSRMatrix, n_dev: int,
     if octave_points > 0:
         from cumf_als_tpu.ops.tiling import make_width_grid
         widths = make_width_grid(min_width, max(1, max_nnz),
-                                 max_width=1024,
+                                 max_width=fine_max_width,
                                  octave_points=octave_points)
     else:
         widths = []

@@ -412,7 +412,8 @@ class ShardedALS:
         # the raw A never gets upcast in HBM.
         a_dt = "bfloat16" if cfg.gram_dtype == "bf16" else "float32"
 
-        def body(x_shard, theta, rows, nnz_local, nnz_total, cols, vals):
+        def body(x_shard, theta, se_in, rows, nnz_local, nnz_total,
+                 cols, vals):
             xs = x_shard[0]
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_out
@@ -453,11 +454,14 @@ class ShardedALS:
                             preferred_element_type=jnp.float32)
             quad = jnp.sum(xt * aq, axis=-1)
             se = jnp.sum(jnp.maximum(vsq - 2.0 * cross + quad, 0.0))
-            return theta, se
+            # accumulate INSIDE the jit: an eager scalar add per block
+            # is a multi-device dispatch, and hundreds of them
+            # abort-crashed XLA:CPU on realistic shapes (r3)
+            return theta, se_in + se
 
         sm = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(DATA_AXIS), P(), P(), P(DATA_AXIS), P(),
+            in_specs=(P(DATA_AXIS), P(), P(), P(), P(DATA_AXIS), P(),
                       P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P()), check_vma=False)
         self._fn_cache[key] = sm
@@ -467,7 +471,7 @@ class ShardedALS:
         key = ("theta", width, c, self.cfg.solver)
         if key not in self._fn_cache:
             self._fn_cache[key] = jax.jit(self._theta_block_sm(width, c),
-                                          donate_argnums=(1,))
+                                          donate_argnums=(1, 2))
         return self._fn_cache[key]
 
     # ---------- one fully-jitted training step ----------
@@ -519,9 +523,8 @@ class ShardedALS:
             for (rows, nnz_local, nnz_total, cols, vals) in block_data:
                 sm = self._theta_block_sm(int(vals.shape[-1]),
                                           int(rows.shape[0]))
-                theta, se_b = sm(x_sharded, theta, rows, nnz_local,
-                                 nnz_total, cols, vals)
-                se = se + se_b
+                theta, se = sm(x_sharded, theta, se, rows, nnz_local,
+                               nnz_total, cols, vals)
             return x_sharded, theta, se
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -605,16 +608,15 @@ class ShardedALS:
         # hundreds of block scalars abort-crashed XLA:CPU on the
         # realistic-shape test (r3); a chained add dispatches one tiny
         # op per block and syncs once at the float()
-        se_acc = None
+        se_acc = jnp.zeros((), jnp.float32)
         for i, (arrs, bl) in enumerate(zip(block_data,
                                            self.reduce_plan.blocks)):
             fn = self._theta_block_fn(bl.width, bl.rows.shape[0])
-            theta, se = call_with_vmem_backoff(
-                fn, x_sharded, theta, *arrs,
+            theta, se_acc = call_with_vmem_backoff(
+                fn, x_sharded, theta, se_acc, *arrs,
                 uses_pallas=backend_uses_pallas(self.cfg))
-            se_acc = se if se_acc is None else se_acc + se
             self._maybe_throttle(i, theta)
-        se_total = float(se_acc) if se_acc is not None else 0.0
+        se_total = float(se_acc) if block_data else 0.0
         return x_sharded, theta, se_total
 
     def _maybe_throttle(self, i: int, ref) -> None:

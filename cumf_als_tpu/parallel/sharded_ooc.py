@@ -129,19 +129,54 @@ class ShardedOutOfCoreALS:
         self.panel_size = min(cfg.panel_size, (1 << 16) - 8)
         csc = self.train_csc
 
-        def build_theta_steps():
-            return AlignedSteps(*align_panel_plans(
-                self._build_per_dev_plans(lazy), csc.num_rows,
-                self.panel_size))
-
+        # Direct theta (r3): with X HBM-resident on ONE device, the
+        # theta update needs no panels and no Gram-tile accumulation at
+        # all — theta rows bucket exactly like X rows, gather straight
+        # from the device X, and the fused kernel keeps each row's Gram
+        # in VMEM. The panel path's scatter-accumulation pays one
+        # (f, f)-tile read-modify-write per (row, panel) touch, which at
+        # full-hugewiki scale (~765 touches x 39,780 rows) is ~8 TB of
+        # HBM traffic per iteration; the direct path pays none. Only the
+        # few ultra-hot columns (> THETA_SEG_W ratings, whose gathered
+        # slab would not fit HBM in one piece) take a segmented
+        # accumulate-then-solve path.
+        self._theta_direct = (cfg.x_placement == "device"
+                              and self.n_dev == 1)
+        self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
         th_params = dict(row_params, panel=self.panel_size,
                          split_w=cfg.split_width,
                          octave=cfg.octave_points, lazy=lazy)
-        aligned = cached_build(cfg.plan_cache_dir, "sh_ooc_theta",
-                               train_csr, th_params, build_theta_steps,
-                               csr_for_lazy=csc if lazy else None)
-        self.theta_steps, self.n_panels = aligned.steps, aligned.n_panels
-        self.theta_nnz = np.diff(np.asarray(csc.indptr)).astype(np.int32)
+        if self._theta_direct:
+            self.theta_steps = []
+            self.n_panels = -(-m_loc // self.panel_size)
+            seg_w = self.THETA_SEG_W
+            lens = np.diff(np.asarray(csc.indptr)).astype(np.int64)
+            norm_mask = lens <= seg_w
+            csc_loc = CSRMatrix(indptr=csc.indptr, indices=csc.indices,
+                                data=csc.data, num_rows=csc.num_rows,
+                                num_cols=m_loc)
+            self.th_plan = cached_build(
+                cfg.plan_cache_dir, "sh_thdir", train_csr,
+                dict(th_params, seg_w=seg_w, direct=True),
+                lambda: build_sharded_row_plan(
+                    csc_loc, 1, cfg.min_bucket_width, seg_w,
+                    cfg.chunk_nnz, cfg.chunk_rows, lazy=lazy,
+                    octave_points=cfg.octave_points,
+                    fine_max_width=seg_w, row_mask=norm_mask),
+                csr_for_lazy=csc_loc if lazy else None)
+            self._build_hot_segments(csc, lens, seg_w)
+        else:
+            def build_theta_steps():
+                return AlignedSteps(*align_panel_plans(
+                    self._build_per_dev_plans(lazy), csc.num_rows,
+                    self.panel_size))
+
+            aligned = cached_build(cfg.plan_cache_dir, "sh_ooc_theta",
+                                   train_csr, th_params,
+                                   build_theta_steps,
+                                   csr_for_lazy=csc if lazy else None)
+            self.theta_steps, self.n_panels = (aligned.steps,
+                                               aligned.n_panels)
 
         # --- device-resident X placement (r3) ---
         # x_placement="device": each device's X shard stays in HBM for
@@ -154,6 +189,10 @@ class ShardedOutOfCoreALS:
         # GPUs could not hold X (hugewiki.cu:2300-2302).
         self.x_on_device = cfg.x_placement == "device"
         self.m_loc_pad = self.n_panels * self.panel_size
+        if self.m_loc_pad <= m_loc:
+            # the direct-theta gather sentinel (== m_loc) must hit a
+            # real, always-zero padding row of the device X
+            self.m_loc_pad = m_loc + 8
         self._x_dev = None
         self._test_order = None
 
@@ -183,8 +222,8 @@ class ShardedOutOfCoreALS:
             self._x_stream = StreamCache(cfg.plan_cache_dir, plan_key(
                 "xstream", fp, dict(row_params, lazy=lazy, sv=sv)))
             self._theta_stream = StreamCache(cfg.plan_cache_dir, plan_key(
-                "thstream", fp, dict(th_params, sv=sv,
-                                     n_pad=self.n_pad)))
+                "thstream", fp, dict(th_params, sv=sv, n_pad=self.n_pad,
+                                     direct=self._theta_direct)))
 
     def _build_per_dev_plans(self, lazy: bool):
         cfg = self.cfg
@@ -569,6 +608,266 @@ class ShardedOutOfCoreALS:
             else:
                 groups.append((st.panel, [i]))
         return groups
+
+    # Above this many ratings a theta column's gathered slab would not
+    # fit device memory in one padded row — it goes through segmented
+    # Gram accumulation instead of the direct fused solve. At reference-
+    # hugewiki scale only the few hundred hottest columns qualify.
+    THETA_SEG_W = 1 << 18
+
+    def _build_hot_segments(self, csc, lens: np.ndarray,
+                            seg_w: int) -> None:
+        """Segment descriptors for the hot theta columns: each segment
+        is (hot index, flat offset, length) into the CSC arrays; packed
+        into fixed-R chunks for the accumulate kernel."""
+        hot = np.nonzero(lens > seg_w)[0].astype(np.int32)
+        self._hot_rows = hot
+        self._hot_nnz = lens[hot].astype(np.int64)
+        self._hot_chunks = []
+        if hot.size == 0:
+            return
+        indptr = np.asarray(csc.indptr, np.int64)
+        segs = []
+        for h, row in enumerate(hot):
+            off = int(indptr[row])
+            rem = int(lens[row])
+            while rem > 0:
+                take = min(seg_w, rem)
+                segs.append((h, off, take))
+                off += take
+                rem -= take
+        r_seg = max(8, min(self.cfg.chunk_nnz // seg_w, 64))
+        for lo in range(0, len(segs), r_seg):
+            part = segs[lo:lo + r_seg]
+            rows = np.full(r_seg, hot.size, np.int32)  # sentinel
+            offs = np.zeros(r_seg, np.int64)
+            ls = np.zeros(r_seg, np.int32)
+            for j, (h, off, take) in enumerate(part):
+                rows[j], offs[j], ls[j] = h, off, take
+            self._hot_chunks.append((rows, offs, ls))
+
+    def _materialize_hot(self, chunk):
+        """(rows, cols (R, SEG_W), vals) for one hot-segment chunk."""
+        rows, offs, ls = chunk
+        csc = self.train_csc
+        seg_w = self.THETA_SEG_W
+        r = rows.shape[0]
+        cols = np.full((r, seg_w), self.row_plan.m_loc, np.int32)
+        vals = np.zeros((r, seg_w), np.float32)
+        for j in range(r):
+            k = int(ls[j])
+            if k:
+                o = int(offs[j])
+                cols[j, :k] = csc.indices[o:o + k]
+                vals[j, :k] = csc.data[o:o + k]
+        return rows, cols, vals
+
+    # ---------- theta phase, direct (device-X, single shard) ----------
+    def _th_direct_fn(self, width: int, r: int):
+        """Fused direct theta-chunk solve against the HBM-resident X:
+        (x_dev, th_new, th_old, se, rows, nnz, cols, vals) ->
+        (th_new, se). The per-row Gram never leaves VMEM."""
+        key = ("thdir", width, r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(x_dev, th_new, th_old, se_in, rows, nnz, cols, vals):
+            xs = x_dev[0]        # sentinel col == m_loc is a zero row
+            rows = rows[0].astype(jnp.int32)
+            cols = cols[0].astype(jnp.int32)
+            vals = vals[0].astype(jnp.float32)
+            nnzd = nnz[0]
+            x0 = jnp.take(th_old, rows, axis=0, mode="fill",
+                          fill_value=0.0)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
+                solved, se = gather_gram_cg(
+                    xs, cols, vals, nnzd, x0, cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype)
+                se = se[:, 0]
+            else:
+                from cumf_als_tpu.ops.gram import gram_rhs
+                from cumf_als_tpu.ops.rmse import fused_sq_err
+                a, b = gram_rhs(xs, cols, vals, nnzd, cfg.lam,
+                                precision=cfg.gram_precision,
+                                factor_dtype=cfg.factor_dtype,
+                                gram_dtype=cfg.gram_dtype)
+                solved = solve(a, b, x0, solver=cfg.solver,
+                               cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                               backend=cfg.backend)
+                se = fused_sq_err(a, b, vals, nnzd, cfg.lam, solved)
+            solved = solved * (nnzd > 0)[:, None]
+            th = th_new.at[rows].set(solved, mode="drop")
+            return th, se_in + jnp.sum(se)
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(), P(), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(1, 3),
+                     in_shardings=(self._shard, self._repl, self._repl,
+                                   self._repl, self._shard, self._shard,
+                                   self._shard, self._shard))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _th_hot_accum_fn(self, r: int):
+        """Segmented Gram accumulation for hot theta columns:
+        (x_dev, a_h, b_h, v_h, rows, cols, vals) -> (a_h, b_h, v_h)."""
+        key = ("thhot", r)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        prec = _PRECISIONS[cfg.gram_precision]
+
+        use_pallas = cfg.backend == "pallas"
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            use_pallas = fused_available()
+
+        def body(x_dev, a_h, b_h, v_h, rows, cols, vals):
+            xs = x_dev[0]
+            rows = rows[0].astype(jnp.int32)
+            cols = cols[0].astype(jnp.int32)
+            vals = vals[0].astype(jnp.float32)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_out
+                a_part, b_part = gather_gram_out(
+                    xs, cols, vals, factor_dtype=cfg.factor_dtype,
+                    out_dtype="float32")
+            else:
+                g = jnp.take(xs, cols, axis=0)
+                a_part = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                                    preferred_element_type=jnp.float32)
+                b_part = jnp.einsum("rp,rpf->rf", vals, g, precision=prec,
+                                    preferred_element_type=jnp.float32)
+            vsq = jnp.sum(vals * vals, axis=-1)
+            a = a_h.at[rows].add(a_part.astype(a_h.dtype), mode="drop")
+            b = b_h.at[rows].add(b_part, mode="drop")
+            v = v_h.at[rows].add(vsq, mode="drop")
+            return a, b, v
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(), P(), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(1, 2, 3),
+                     in_shardings=(self._shard,) + (self._repl,) * 3
+                     + (self._shard,) * 3)
+        self._fn_cache[key] = fn
+        return fn
+
+    def _th_hot_solve_fn(self):
+        """Solve the accumulated hot systems, scatter them into the new
+        theta, and add their exact train-SE identity terms."""
+        key = ("thhotsolve",)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+
+        def body(th_new, se_in, a_h, b_h, v_h, th0_h, nnz_h, rows_h):
+            nnzf = nnz_h.astype(jnp.float32)
+            diag = nnzf * cfg.lam + (nnzf == 0)
+            th = solve(a_h, b_h, th0_h, solver=cfg.solver,
+                       cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                       backend=cfg.backend, diag=diag)
+            th = th * (nnzf > 0)[:, None]
+            cross = jnp.sum(th * b_h, axis=-1)
+            aq = jnp.einsum("rfg,rg->rf", a_h, th,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            quad = jnp.sum(th * aq, axis=-1)
+            se = jnp.sum(jnp.maximum(v_h - 2.0 * cross + quad, 0.0))
+            th_out = th_new.at[rows_h].set(th, mode="drop")
+            return th_out, se_in + se
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh, in_specs=(P(),) * 8,
+            out_specs=(P(), P()), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(0, 1))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _theta_phase_direct(self, theta: jnp.ndarray):
+        """Direct theta update against the HBM-resident X (single
+        shard): bucketed fused solves + segmented hot columns. Returns
+        (new theta (n, f_pad), total train squared error)."""
+        from cumf_als_tpu.utils.transfer import fast_put
+        cfg = self.cfg
+        f = cfg.f_pad
+        n = self.train_csc.num_rows
+        zeros = jax.jit(lambda: (jnp.zeros((self.n_pad, f), jnp.float32),
+                                 jnp.zeros((), jnp.float32)),
+                        out_shardings=(self._repl, self._repl))
+        th_new, se = zeros()
+        theta_pad = jax.device_put(
+            jnp.pad(theta, ((0, self.n_pad - n), (0, 0))), self._repl)
+        sc = self._theta_stream
+        if sc is not None:
+            sc.begin()
+        for ci, ch in enumerate(self.th_plan.chunks):
+            _maybe_log_rss("theta", ci)
+            ent = sc.get(ci) if sc is not None else None
+            if ent is None:
+                rows, nnz, cols, vals = ch.materialize()
+                cols = self._compact_ids(cols, self.row_plan.m_loc + 1)
+                vals = self._compact_vals(vals)
+                if sc is not None and sc.building:
+                    sc.put(ci, dict(rows=rows, nnz=nnz, cols=cols,
+                                    vals=vals))
+            else:
+                rows, nnz, cols, vals = (ent["rows"], ent["nnz"],
+                                         ent["cols"], ent["vals"])
+            fn = self._th_direct_fn(ch.width, rows.shape[1])
+            th_new, se = call_with_vmem_backoff(
+                fn, self._x_dev, th_new, theta_pad, se,
+                fast_put(rows, self._shard), fast_put(nnz, self._shard),
+                fast_put(cols, self._shard), fast_put(vals, self._shard),
+                uses_pallas=backend_uses_pallas(cfg))
+        if sc is not None and sc.building:
+            sc.finish()
+        if self._hot_rows.size:
+            h_pad = max(8, -(-self._hot_rows.size // 8) * 8)
+            zeros_h = jax.jit(
+                lambda: (jnp.zeros((h_pad, f, f), jnp.float32),
+                         jnp.zeros((h_pad, f), jnp.float32),
+                         jnp.zeros((h_pad,), jnp.float32)),
+                out_shardings=(self._repl,) * 3)
+            a_h, b_h, v_h = zeros_h()
+            for chunk in self._hot_chunks:
+                rows, cols, vals = self._materialize_hot(chunk)
+                fn = self._th_hot_accum_fn(rows.shape[0])
+                a_h, b_h, v_h = call_with_vmem_backoff(
+                    fn, self._x_dev, a_h, b_h, v_h,
+                    fast_put(rows[None], self._shard),
+                    fast_put(cols[None], self._shard),
+                    fast_put(self._compact_vals(vals)[None],
+                             self._shard),
+                    uses_pallas=backend_uses_pallas(cfg))
+            th0_h = np.zeros((h_pad, f), np.float32)
+            th0_h[:self._hot_rows.size] = np.asarray(
+                theta)[self._hot_rows]
+            nnz_h = np.zeros(h_pad, np.int32)
+            nnz_h[:self._hot_rows.size] = np.minimum(
+                self._hot_nnz, np.iinfo(np.int32).max)
+            rows_h = np.full(h_pad, self.n_pad, np.int32)
+            rows_h[:self._hot_rows.size] = self._hot_rows
+            th_new, se = call_with_vmem_backoff(
+                self._th_hot_solve_fn(), th_new, se, a_h, b_h, v_h,
+                jax.device_put(th0_h, self._repl),
+                jax.device_put(nnz_h, self._repl),
+                jax.device_put(rows_h, self._repl),
+                uses_pallas=backend_uses_pallas(cfg))
+        return th_new[:n], float(se)
 
     def _reduce_solve_fn(self):
         """psum the per-device partials over ICI (the reference's
@@ -965,7 +1264,10 @@ class ShardedOutOfCoreALS:
                 print(f"update X run {tx:f} seconds, gridSize: {cfg.m}, "
                       f"blockSize {cfg.f}.", flush=True)
             t0 = seconds()
-            theta, se = self._theta_phase(x_host, theta)
+            if getattr(self, "_theta_direct", False):
+                theta, se = self._theta_phase_direct(theta)
+            else:
+                theta, se = self._theta_phase(x_host, theta)
             # (device placement reads panels straight from self._x_dev;
             # x_host is None there)
             theta.block_until_ready()

@@ -233,9 +233,10 @@ class TestShardedResume:
 
 class TestDeviceResidentX:
     """x_placement="device" (r3): X shards live in HBM, CG cold-starts,
-    panels are device slices, test RMSE evaluates on device. With an
-    exact (start-independent) solver the trajectory must be IDENTICAL
-    to the host placement."""
+    panels become device slices (multi-shard) or the theta update
+    solves DIRECTLY against the device X (single shard), and test RMSE
+    evaluates on device. With an exact (start-independent) solver the
+    trajectory must match the host placement to f32 summation noise."""
 
     @pytest.mark.parametrize("ndev", [1, 4])
     def test_matches_host_placement_exactly(self, medium_problem, ndev):
@@ -248,15 +249,40 @@ class TestDeviceResidentX:
         host = ShardedOutOfCoreALS(
             _cfg(train, **base, x_placement="host"), train, None, test,
             n_devices=ndev).run(x0, th0)
-        dev = ShardedOutOfCoreALS(
+        model = ShardedOutOfCoreALS(
             _cfg(train, **base, x_placement="device"), train, None,
-            test, n_devices=ndev).run(x0, th0)
+            test, n_devices=ndev)
+        assert model._theta_direct == (ndev == 1)
+        dev = model.run(x0, th0)
         for a, b in zip(host.history, dev.history):
-            assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-6)
-            assert b.test_rmse == pytest.approx(a.test_rmse, abs=1e-6)
-        np.testing.assert_allclose(dev.x, host.x, rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(dev.theta, host.theta, rtol=1e-5,
-                                   atol=1e-6)
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=5e-5)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=5e-5)
+        np.testing.assert_allclose(dev.x, host.x, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(dev.theta, host.theta, rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_direct_theta_hot_columns(self, medium_problem, monkeypatch):
+        """Columns above THETA_SEG_W ratings route through the
+        segmented accumulate-then-solve path; a tiny cap forces every
+        hot column through it and the trajectory must still match."""
+        from cumf_als_tpu.parallel import sharded_ooc as so
+        train, test = medium_problem
+        base = dict(solver="cholesky", panel_size=32, chunk_rows=64,
+                    iters=3)
+        x0, th0 = init_factors(train.num_rows, train.num_cols, 16,
+                               seed=1)
+        host = so.ShardedOutOfCoreALS(
+            _cfg(train, **base, x_placement="host"), train, None, test,
+            n_devices=1).run(x0, th0)
+        monkeypatch.setattr(so.ShardedOutOfCoreALS, "THETA_SEG_W", 64)
+        model = so.ShardedOutOfCoreALS(
+            _cfg(train, **base, x_placement="device"), train, None,
+            test, n_devices=1)
+        assert model._hot_rows.size > 0  # segments actually engaged
+        dev = model.run(x0, th0)
+        for a, b in zip(host.history, dev.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=5e-5)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=5e-5)
 
     def test_cold_start_cg_converges(self, medium_problem):
         """CG with cold start and a raised iteration budget (the
