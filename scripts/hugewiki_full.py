@@ -101,8 +101,10 @@ def main(argv=None) -> int:
                     x_placement=args.x_placement,
                     # device-X: the fused kernel keeps Gram in VMEM, so
                     # chunks can be much larger — fewer, fatter
-                    # dispatches on the tunnel
-                    chunk_nnz=(1 << 23 if device_x else 1 << 22),
+                    # dispatches on the tunnel. 2^22 slots bounds the
+                    # transient gathered slab at ~1 GB so a couple of
+                    # in-flight chunks coexist with the 12 GiB X shard.
+                    chunk_nnz=(1 << 22 if device_x else 1 << 22),
                     chunk_rows=(1 << 17 if device_x else 1 << 14),
                     plan_cache_dir=os.path.join(bench.CACHE_DIR, "plans"),
                     stream_val_dtype="f16", debug_timing=True)
