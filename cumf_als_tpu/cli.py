@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard over N devices (hugewiki multi-chip path)")
+    p.add_argument("--x-placement", choices=["host", "device"],
+                   default="host",
+                   help="sharded+OOC X placement: 'device' keeps each "
+                        "X shard HBM-resident with cold-started CG "
+                        "(the full-hugewiki run mode; raise --cg-iters)")
     p.add_argument("--out-of-core", action="store_true",
                    help="keep X host-resident (hugewiki XT_h path)")
     p.add_argument("--seed", type=int, default=0)
@@ -99,6 +104,7 @@ def config_from_args(a) -> ALSConfig:
         backend=a.backend, use_panels=a.use_panels,
         mesh_shape=(a.mesh,) if a.mesh else None,
         host_offload_x=a.out_of_core,
+        x_placement=a.x_placement,
         checkpoint_dir=a.checkpoint_dir,
         checkpoint_every=a.checkpoint_every, resume=a.resume,
         profile_dir=a.profile_dir, verbose=not a.quiet,

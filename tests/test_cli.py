@@ -73,3 +73,33 @@ def test_cli_metrics_jsonl(dataset_dir, tmp_path, capsys):
     assert len(lines) == 2
     assert {"iteration", "train_rmse", "test_rmse",
             "x_seconds"} <= set(lines[0])
+
+
+def test_cli_x_placement_device(tmp_path):
+    """--x-placement device drives the sharded+OOC HBM-resident-X mode
+    from the CLI surface (the full-hugewiki run mode)."""
+    import subprocess
+    import sys
+    import numpy as np
+    from cumf_als_tpu.data.synthetic import synthetic_ratings
+    from cumf_als_tpu.utils.io import write_dataset
+    train, test = synthetic_ratings(m=120, n=90, nnz=3000, nnz_test=400,
+                                    seed=5)
+    d = tmp_path / "ds"
+    d.mkdir()
+    write_dataset(str(d), train, test)
+    out = subprocess.run(
+        [sys.executable, "-m", "cumf_als_tpu.cli", "120", "90", "16",
+         str(train.nnz), str(test.nnz), "0.05", "1", "1", str(d),
+         "--iters", "2", "--solver", "cholesky", "--mesh", "2",
+         "--out-of-core", "--x-placement", "device",
+         "--plan-cache", "off"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Test RMSE in iter 1" in out.stdout
+    rmses = [float(line.rsplit(":", 1)[1])
+             for line in out.stdout.splitlines()
+             if "Train RMSE" in line]
+    assert rmses[-1] < rmses[0]
