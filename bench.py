@@ -135,6 +135,11 @@ def main() -> int:
     # test-RMSE delta vs f32 is 1.5e-4 — inside the reference's own
     # half-precision envelope — for ~3% iteration time.
     p.add_argument("--gram-dtype", default="bf16", choices=["f32", "bf16"])
+    p.add_argument("--aug-gram", default="auto", choices=["auto", "off"],
+                   help="augmented-lane Gram: rating values ride the "
+                        "free factor lane so one MXU accumulation forms "
+                        "A, b and r^2 together (auto engages when "
+                        "f < f_pad)")
     p.add_argument("--octave-points", type=int, default=8,
                    choices=[4, 8])
     p.add_argument("--mesh", type=int, default=0,
@@ -172,6 +177,7 @@ def main() -> int:
                     gram_precision=args.gram_precision,
                     factor_dtype=args.factor_dtype,
                     gram_dtype=args.gram_dtype,
+                    aug_gram=args.aug_gram,
                     chunk_nnz=args.chunk_nnz,
                     octave_points=args.octave_points,
                     backend=args.backend, use_panels=args.use_panels,

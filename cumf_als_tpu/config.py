@@ -109,6 +109,13 @@ class ALSConfig:
     # restructured as per-panel partial Grams scatter-added into the
     # accumulators ("auto"). "never" forces the direct path.
     use_panels: str = "auto"       # auto | never
+    # Augmented-lane Gram ("auto"): when the true F leaves lane f_pad-1
+    # free (any F not a multiple of 128 — including the reference's
+    # F=100 headline), the rating values ride that lane of the gathered
+    # G and one MXU accumulation forms A, b and sum(r^2) together —
+    # the kernels' separate VPU b/r2 passes and their VMEM temporaries
+    # disappear (ops/pallas_solve._kernel_aug). "off" for A/B runs.
+    aug_gram: str = "auto"         # auto | off
     panel_size: int = 1 << 16
     panel_budget_bytes: int = 2 << 30
     # Fuse a whole direct phase into one jitted program: chunk updates
@@ -182,6 +189,8 @@ class ALSConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.use_panels not in ("auto", "never"):
             raise ValueError(f"unknown use_panels {self.use_panels!r}")
+        if self.aug_gram not in ("auto", "off"):
+            raise ValueError(f"unknown aug_gram {self.aug_gram!r}")
         if self.stream_val_dtype not in ("f32", "f16"):
             raise ValueError(
                 f"unknown stream_val_dtype {self.stream_val_dtype!r}")

@@ -525,9 +525,12 @@ class ALS:
         cfg = self.cfg
         plan, chunks, _aux = plan_pair
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import fused_available
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available)
             use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
         if chunks and cfg.save_model and getattr(self, "_save_tag", None):
             ch = chunks[0]
             a_d, b_d = gram_rhs(extend_table(table), ch.cols, ch.vals,
@@ -544,7 +547,7 @@ class ALS:
                 solved, se = gather_gram_cg(
                     table_ext, cols, vals, nnz, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
+                    factor_dtype=cfg.factor_dtype, aug=use_aug)
                 return solved, jnp.sum(se)
             a, b = gram_rhs(table_ext, cols, vals, nnz, cfg.lam,
                             precision=cfg.gram_precision,

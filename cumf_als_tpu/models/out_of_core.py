@@ -104,9 +104,11 @@ class OutOfCoreALS:
         table_ext = extend_table(theta)
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import (fused_available,
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available,
                                                        gather_gram_cg)
             use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
         pending: List = []  # (rows_valid_host, nnz, device_result)
         for ch in self.plan_x.chunks:
             dc = DeviceChunk(ch)
@@ -120,7 +122,7 @@ class OutOfCoreALS:
                 solved, _se = gather_gram_cg(
                     table_ext, dc.cols, dc.vals, dc.nnz, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
+                    factor_dtype=cfg.factor_dtype, aug=use_aug)
             else:
                 a, b = gram_rhs(table_ext, dc.cols, dc.vals, dc.nnz,
                                 cfg.lam, precision=cfg.gram_precision,

@@ -169,9 +169,12 @@ class ShardedALS:
         cfg = self.cfg
 
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import fused_available
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available)
             use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
 
         def body(theta, x_shard, rows, nnz, cols, vals):
             # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
@@ -187,7 +190,7 @@ class ShardedALS:
                 solved, _se = gather_gram_cg(
                     theta_ext, cols[0], vals[0], nnz[0], x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
+                    factor_dtype=cfg.factor_dtype, aug=use_aug)
             else:
                 a, b = _gram_local(theta_ext, cols[0], vals[0],
                                    cfg.gram_precision,

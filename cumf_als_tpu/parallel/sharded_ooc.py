@@ -318,9 +318,12 @@ class ShardedOutOfCoreALS:
         by both X placements."""
         cfg = self.cfg
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import fused_available
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available)
             use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
 
         def solve_rows(theta, x0, nnz, cols, vals):
             if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
@@ -333,7 +336,7 @@ class ShardedOutOfCoreALS:
                 solved, _se = gather_gram_cg(
                     theta_ext, cols, vals, nnz, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
+                    factor_dtype=cfg.factor_dtype, aug=use_aug)
             else:
                 from cumf_als_tpu.ops.gram import gram_rhs
                 a, b = gram_rhs(theta_ext, cols, vals, nnz,
@@ -673,9 +676,12 @@ class ShardedOutOfCoreALS:
         cfg = self.cfg
 
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
         if use_pallas:
-            from cumf_als_tpu.ops.pallas_solve import fused_available
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available)
             use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
 
         def body(x_dev, th_new, th_old, se_in, rows, nnz, cols, vals):
             xs = x_dev[0]        # sentinel col == m_loc is a zero row
@@ -690,7 +696,7 @@ class ShardedOutOfCoreALS:
                 solved, se = gather_gram_cg(
                     xs, cols, vals, nnzd, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                    factor_dtype=cfg.factor_dtype)
+                    factor_dtype=cfg.factor_dtype, aug=use_aug)
                 se = se[:, 0]
             else:
                 from cumf_als_tpu.ops.gram import gram_rhs

@@ -99,6 +99,67 @@ def test_gather_gram_cg_end_to_end():
     np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)
 
 
+class TestAugmentedGram:
+    """Augmented-lane kernel (r3): rating values ride lane f-1 of G and
+    one MXU accumulation forms A, b and sum(r^2) together. Requires the
+    true factor width < f_pad, so the problems here zero lanes >= 100
+    (the F=100-padded-to-128 headline shape)."""
+
+    def _aug_problem(self, r, p, f, f_true, seed=0, zero_rows=()):
+        g, vals, nnz = _problem(r, p, f, seed=seed, zero_rows=zero_rows)
+        g[:, :, f_true:] = 0.0
+        return g, vals, nnz
+
+    def test_matches_unaugmented_kernel(self):
+        r, p, f, lam = 16, 48, 128, 0.05
+        g, vals, nnz = self._aug_problem(r, p, f, 100, zero_rows=(3,))
+        args = (jnp.asarray(nnz), jnp.zeros((r, f), jnp.float32), lam)
+        x_ref, se_ref = ps.fused_gram_cg(jnp.asarray(g),
+                                         jnp.asarray(vals), *args,
+                                         cg_iters=6, cg_tol=1e-4)
+        ga = ps.augment_g(jnp.asarray(g), jnp.asarray(vals))
+        x, se = ps.fused_gram_cg_aug(ga, *args, cg_iters=6, cg_tol=1e-4)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(se), np.asarray(se_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x)[:, -1], 0.0)
+
+    def test_matches_exact_solve(self):
+        r, p, f, lam = 16, 40, 128, 0.1
+        g, vals, nnz = self._aug_problem(r, p, f, 100, seed=5,
+                                         zero_rows=(1, 7))
+        ga = ps.augment_g(jnp.asarray(g), jnp.asarray(vals))
+        x, se = ps.fused_gram_cg_aug(ga, jnp.asarray(nnz),
+                                     jnp.zeros((r, f), jnp.float32),
+                                     lam, cg_iters=60, cg_tol=1e-12)
+        ref_x, ref_se = _reference(g, vals, nnz, lam, f)
+        np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(se)[:, 0], ref_se,
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_gather_gram_cg_aug(self):
+        rng = np.random.RandomState(2)
+        n, f, f_true, r, p = 50, 128, 100, 16, 24
+        table = np.zeros((n, f), np.float32)
+        table[:, :f_true] = rng.standard_normal((n, f_true)) * 0.3
+        table_ext = jnp.concatenate(
+            [jnp.asarray(table), jnp.zeros((1, f))], axis=0)
+        cols = rng.randint(0, n, (r, p)).astype(np.int32)
+        nnz = rng.randint(1, p + 1, (r,)).astype(np.int32)
+        mask = np.arange(p)[None, :] < nnz[:, None]
+        cols = np.where(mask, cols, n).astype(np.int32)
+        vals = (rng.uniform(1, 5, (r, p)) * mask).astype(np.float32)
+        x, _ = ps.gather_gram_cg(table_ext, jnp.asarray(cols),
+                                 jnp.asarray(vals), jnp.asarray(nnz),
+                                 jnp.zeros((r, f), jnp.float32), 0.05,
+                                 cg_iters=40, cg_tol=1e-12, aug=True)
+        g = np.where(mask[:, :, None], table[np.minimum(cols, n - 1)],
+                     0.0)
+        ref_x, _ = _reference(g, vals, nnz, 0.05, f)
+        np.testing.assert_allclose(np.asarray(x), ref_x, atol=2e-3)
+
+
 def test_solve_cg_pallas_matches_xla_cg():
     """Standalone VMEM-resident CG (A read once) vs ops.solve.solve_cg:
     identical iterates including warm start, early exit and zero-system
