@@ -109,13 +109,38 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
     return a_buf, b_buf
 
 
-def make_panel_group_fn(cfg, cache: dict, shapes_key):
+@partial(jax.jit, static_argnames=("precision", "factor_dtype"),
+         donate_argnums=(1,))
+def _panel_accum_aug(table_panel, a_buf, cols, vals, rows, precision,
+                     factor_dtype="f32"):
+    """Augmented-lane twin of _panel_accum: ONE einsum accumulates the
+    combined A' (Gram + b row + r^2 corner) and the separate b scatter
+    chain disappears (ops/pallas_solve._kernel_aug has the layout)."""
+    from cumf_als_tpu.ops.gram import _PRECISIONS
+    from cumf_als_tpu.ops.pallas_solve import augment_g
+    f = table_panel.shape[1]
+    if factor_dtype == "bf16":
+        table_panel = table_panel.astype(jnp.bfloat16)
+    tp = jnp.concatenate(
+        [table_panel, jnp.zeros((1, f), table_panel.dtype)], axis=0)
+    g = augment_g(jnp.take(tp, cols, axis=0), vals)
+    a_part = jnp.einsum("rpf,rpg->rfg", g, g,
+                        precision=_PRECISIONS[precision],
+                        preferred_element_type=jnp.float32)
+    return a_buf.at[rows].add(a_part.astype(a_buf.dtype), mode="drop")
+
+
+def make_panel_group_fn(cfg, cache: dict, shapes_key, aug: bool = False):
     """One jit per panel: every chunk's partial Gram is independent
     (subrows within a panel are disjoint across chunks), so XLA can
     overlap the gathers/einsums; write-back is ONE scatter-add per
     chunk and the (A, b) accumulators are donated through. Shared by
-    the panel, batched-panel and out-of-core theta paths."""
-    key = ("panel_group", shapes_key)
+    the panel, batched-panel and out-of-core theta paths.
+
+    aug=True: the augmented-lane form — values ride lane f-1 of G, the
+    single accumulator A' carries b in row f-1, and the group takes/
+    returns a_buf alone."""
+    key = ("panel_group", shapes_key, aug)
     if key in cache:
         return cache[key]
 
@@ -123,6 +148,34 @@ def make_panel_group_fn(cfg, cache: dict, shapes_key):
     if use_pallas:
         from cumf_als_tpu.ops.pallas_solve import fused_available
         use_pallas = fused_available()
+
+    if aug:
+        def group_aug(table_panel, a_buf, chunk_arrays):
+            from cumf_als_tpu.ops.gram import _PRECISIONS
+            from cumf_als_tpu.ops.pallas_solve import (augment_g,
+                                                       gather_gram_aug_out)
+            f = table_panel.shape[1]
+            tpn = table_panel
+            if cfg.factor_dtype == "bf16":
+                tpn = tpn.astype(jnp.bfloat16)
+            tp = jnp.concatenate(
+                [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
+            for rows, cols, vals in chunk_arrays:
+                if use_pallas:
+                    a_part = gather_gram_aug_out(
+                        tp, cols, vals, out_dtype=str(a_buf.dtype))
+                else:
+                    g = augment_g(jnp.take(tp, cols, axis=0), vals)
+                    a_part = jnp.einsum(
+                        "rpf,rpg->rfg", g, g,
+                        precision=_PRECISIONS[cfg.gram_precision],
+                        preferred_element_type=jnp.float32)
+                a_buf = a_buf.at[rows].add(a_part.astype(a_buf.dtype),
+                                           mode="drop")
+            return a_buf
+        fn = jax.jit(group_aug, donate_argnums=(1,))
+        cache[key] = fn
+        return fn
 
     def group(table_panel, a_buf, b_buf, chunk_arrays):
         from cumf_als_tpu.ops.gram import _PRECISIONS
@@ -155,6 +208,39 @@ def make_panel_group_fn(cfg, cache: dict, shapes_key):
     fn = jax.jit(group, donate_argnums=(1, 2))
     cache[key] = fn
     return fn
+
+
+@jax.jit
+def _se_terms_aug(a_buf, x_new):
+    """_se_terms over the augmented accumulator: b is row f-1 of A'.
+    Lane f-1 of x_new is identically zero, so the r^2 corner and the
+    value row/column of A' contribute nothing to cross/quad."""
+    x = x_new.astype(jnp.float32)
+    f = a_buf.shape[-1]
+    cross = jnp.sum(x * a_buf[:, f - 1, :].astype(jnp.float32))
+    aq = jnp.einsum("rfg,rg->rf", a_buf.astype(jnp.float32), x,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    quad = jnp.sum(x * aq)
+    return quad - 2.0 * cross
+
+
+@partial(jax.jit, static_argnames=("batch", "solver", "cg_iters",
+                                   "backend"))
+def _solve_slice_aug(a_buf, x0_full, row_nnz, lo, lam, batch, solver,
+                     cg_iters, cg_tol, backend="xla"):
+    """_solve_slice over the augmented accumulator: b unpacks from row
+    f-1 inside the solve (in VMEM on the pallas path)."""
+    from cumf_als_tpu.ops.solve import solve as _solve
+    f = a_buf.shape[-1]
+    a = jax.lax.dynamic_slice(a_buf, (lo, 0, 0), (batch, f, f))
+    x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
+    nnz = jax.lax.dynamic_slice(row_nnz, (lo,), (batch,))
+    nnzf = nnz.astype(jnp.float32)
+    diag = nnzf * lam + (nnzf == 0)
+    out = _solve(a, None, x0, solver=solver, cg_iters=cg_iters,
+                 cg_tol=cg_tol, backend=backend, diag=diag, aug=True)
+    return out * (nnzf > 0)[:, None]
 
 
 @jax.jit
@@ -399,10 +485,11 @@ class ALS:
         first_batch = True
         bsz = plan.batch_rows
         a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        aug = self._use_panel_aug()
         se_parts = []
         for gids, row_nnz, chunks in aux["batches"]:
             a_buf = jnp.zeros((bsz, f, f), a_dtype)
-            b_buf = jnp.zeros((bsz, f), jnp.float32)
+            b_buf = None if aug else jnp.zeros((bsz, f), jnp.float32)
             by_panel = {}
             for ch in chunks:
                 by_panel.setdefault(ch.panel, []).append(ch)
@@ -417,17 +504,27 @@ class ALS:
                     shapes_key = tuple(
                         (c.cols.shape[0], c.cols.shape[1])
                         for c in group)
-                    fn = self._panel_group_fn(shapes_key, len(group))
-                    a_buf, b_buf = fn(
-                        tp, a_buf, b_buf,
-                        tuple((c.rows, c.cols, c.vals) for c in group))
+                    fn = self._panel_group_fn(shapes_key, len(group),
+                                              aug=aug)
+                    arrays = tuple((c.rows, c.cols, c.vals)
+                                   for c in group)
+                    if aug:
+                        a_buf = fn(tp, a_buf, arrays)
+                    else:
+                        a_buf, b_buf = fn(tp, a_buf, b_buf, arrays)
                     continue
                 for ch in group:
-                    a_buf, b_buf = _panel_accum(tp, a_buf, b_buf,
-                                                ch.cols, ch.vals,
-                                                ch.rows,
-                                                cfg.gram_precision,
-                                                cfg.factor_dtype)
+                    if aug:
+                        a_buf = _panel_accum_aug(tp, a_buf, ch.cols,
+                                                 ch.vals, ch.rows,
+                                                 cfg.gram_precision,
+                                                 cfg.factor_dtype)
+                    else:
+                        a_buf, b_buf = _panel_accum(tp, a_buf, b_buf,
+                                                    ch.cols, ch.vals,
+                                                    ch.rows,
+                                                    cfg.gram_precision,
+                                                    cfg.factor_dtype)
             if first_batch and cfg.save_model and \
                     getattr(self, "_save_tag", None):
                 self._dump_gram(a_buf, b_buf, self._save_tag)
@@ -438,15 +535,24 @@ class ALS:
             # 2^17-row batch would cast the full bf16 A buffer to f32
             # (8.6 GB transient)
             sb = min(bsz, cfg.chunk_rows)
-            outs = [_solve_slice(a_buf, b_buf, x0, row_nnz,
-                                 jnp.asarray(lo, jnp.int32), cfg.lam,
-                                 sb, cfg.solver, cfg.cg_iters,
-                                 cfg.cg_tol, backend=cfg.backend)
-                    for lo in range(0, bsz, sb)]
+            if aug:
+                outs = [_solve_slice_aug(a_buf, x0, row_nnz,
+                                         jnp.asarray(lo, jnp.int32),
+                                         cfg.lam, sb, cfg.solver,
+                                         cfg.cg_iters, cfg.cg_tol,
+                                         backend=cfg.backend)
+                        for lo in range(0, bsz, sb)]
+            else:
+                outs = [_solve_slice(a_buf, b_buf, x0, row_nnz,
+                                     jnp.asarray(lo, jnp.int32), cfg.lam,
+                                     sb, cfg.solver, cfg.cg_iters,
+                                     cfg.cg_tol, backend=cfg.backend)
+                        for lo in range(0, bsz, sb)]
             solved = outs[0] if len(outs) == 1 else \
                 jnp.concatenate(outs, axis=0)
             if collect_rmse_terms:
-                se_parts.append(_se_terms(a_buf, b_buf, solved))
+                se_parts.append(_se_terms_aug(a_buf, solved) if aug
+                                else _se_terms(a_buf, b_buf, solved))
             current = current.at[gids].set(solved, mode="drop")
         se = 0.0
         if collect_rmse_terms:
@@ -456,10 +562,18 @@ class ALS:
                 if se_parts else self._sum_r2()
         return current, se
 
-    def _panel_group_fn(self, shapes_key, n_chunks):
+    def _panel_group_fn(self, shapes_key, n_chunks, aug: bool = False):
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
-        return make_panel_group_fn(self.cfg, self._fn_cache, shapes_key)
+        return make_panel_group_fn(self.cfg, self._fn_cache, shapes_key,
+                                   aug=aug)
+
+    def _use_panel_aug(self) -> bool:
+        """Augmented-lane panel phase: one combined A' accumulator, b
+        rides row f-1 through accumulation and into the solve (see
+        ops/pallas_solve.panel_aug_enabled for the gates)."""
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        return panel_aug_enabled(self.cfg)
 
     def _update_phase_panelized(self, table, current, plan_pair,
                                 panel_provider=None,
@@ -480,8 +594,9 @@ class ALS:
                                     jnp.asarray(p * s, jnp.int32), s)
         m, m_pad = plan.num_rows, aux["m_pad"]
         a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        aug = self._use_panel_aug()
         a_buf = jnp.zeros((m_pad, f, f), a_dtype)
-        b_buf = jnp.zeros((m_pad, f), jnp.float32)
+        b_buf = None if aug else jnp.zeros((m_pad, f), jnp.float32)
         by_panel = {}
         for ch in chunks:
             by_panel.setdefault(ch.panel, []).append(ch)
@@ -490,31 +605,49 @@ class ALS:
             if cfg.fuse_phase and len(group) <= cfg.fuse_max_chunks:
                 shapes_key = tuple(
                     (c.cols.shape[0], c.cols.shape[1]) for c in group)
-                fn = self._panel_group_fn(shapes_key, len(group))
-                a_buf, b_buf = fn(
-                    tp, a_buf, b_buf,
-                    tuple((c.rows, c.cols, c.vals) for c in group))
+                fn = self._panel_group_fn(shapes_key, len(group), aug=aug)
+                arrays = tuple((c.rows, c.cols, c.vals) for c in group)
+                if aug:
+                    a_buf = fn(tp, a_buf, arrays)
+                else:
+                    a_buf, b_buf = fn(tp, a_buf, b_buf, arrays)
                 continue
             for ch in group:
-                a_buf, b_buf = _panel_accum(tp, a_buf, b_buf, ch.cols,
-                                            ch.vals, ch.rows,
-                                            cfg.gram_precision,
-                                            cfg.factor_dtype)
+                if aug:
+                    a_buf = _panel_accum_aug(tp, a_buf, ch.cols,
+                                             ch.vals, ch.rows,
+                                             cfg.gram_precision,
+                                             cfg.factor_dtype)
+                else:
+                    a_buf, b_buf = _panel_accum(tp, a_buf, b_buf,
+                                                ch.cols, ch.vals,
+                                                ch.rows,
+                                                cfg.gram_precision,
+                                                cfg.factor_dtype)
         if cfg.save_model and getattr(self, "_save_tag", None):
             self._dump_gram(a_buf, b_buf, self._save_tag)
         x0_full = jnp.pad(current, ((0, m_pad - m), (0, 0)))
         batch = aux.get("solve_batch", cfg.chunk_rows)
         outs = []
         for lo in range(0, m_pad, batch):
-            outs.append(_solve_slice(
-                a_buf, b_buf, x0_full, aux["row_nnz_pad"],
-                jnp.asarray(lo, jnp.int32), cfg.lam, batch, cfg.solver,
-                cfg.cg_iters, cfg.cg_tol, backend=cfg.backend))
+            if aug:
+                outs.append(_solve_slice_aug(
+                    a_buf, x0_full, aux["row_nnz_pad"],
+                    jnp.asarray(lo, jnp.int32), cfg.lam, batch,
+                    cfg.solver, cfg.cg_iters, cfg.cg_tol,
+                    backend=cfg.backend))
+            else:
+                outs.append(_solve_slice(
+                    a_buf, b_buf, x0_full, aux["row_nnz_pad"],
+                    jnp.asarray(lo, jnp.int32), cfg.lam, batch,
+                    cfg.solver, cfg.cg_iters, cfg.cg_tol,
+                    backend=cfg.backend))
         new_pad = jnp.concatenate(outs, axis=0) if len(outs) > 1 \
             else outs[0]
         se = 0.0
         if collect_rmse_terms:
-            se = _se_terms(a_buf, b_buf, new_pad) + self._sum_r2()
+            se = (_se_terms_aug(a_buf, new_pad) if aug else
+                  _se_terms(a_buf, b_buf, new_pad)) + self._sum_r2()
         return new_pad[:m], se
 
     def _update_phase_direct(self, table: jnp.ndarray,

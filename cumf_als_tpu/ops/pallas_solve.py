@@ -573,6 +573,68 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
     )(g, vals)
 
 
+def _gram_kernel_aug(g_ref, a_ref, a_scr, *, n_p: int):
+    """Gram-out over an augmented G: the single accumulated output A'
+    carries the raw Gram (lanes < f-1), the RHS b (row f-1) and the
+    per-row sum(r^2) (corner). The panel paths then accumulate/psum ONE
+    buffer and the b scatter-add chain disappears entirely."""
+    pb = pl.program_id(1)
+
+    @pl.when(pb == 0)
+    def _():
+        a_scr[...] = jnp.zeros_like(a_scr)
+
+    g = g_ref[...]                                   # storage dtype
+    a_scr[...] += jax.lax.dot_general(
+        g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pb == n_p - 1)
+    def _():
+        a_ref[...] = a_scr[...].astype(a_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("factor_dtype", "out_dtype"))
+def gather_gram_aug_out(table_ext, cols, vals, factor_dtype="f32",
+                        out_dtype="float32"):
+    """XLA gather + augmented Pallas Gram: returns the combined raw
+    partial A' (R, f, f) with b in row f-1 and sum(r^2) in the corner.
+    Requires lane f-1 of the table to be all zero (true factor width
+    < f_pad)."""
+    if factor_dtype == "bf16":
+        table_ext = table_ext.astype(jnp.bfloat16)
+    g = jnp.take(table_ext, cols, axis=0)
+    g = augment_g(g, vals)
+    r, p, f = g.shape
+    gi = jnp.dtype(g.dtype).itemsize
+    pb = _p_block(p, f, gi)
+    if pb == p and 8 * _per_row_bytes(pb, f, gi) > _VMEM_BUDGET \
+            and p % 128:
+        p_new = -(-p // 128) * 128
+        g = jnp.pad(g, ((0, 0), (0, p_new - p), (0, 0)))
+        p = p_new
+        pb = _p_block(p, f, gi)
+    rb = _row_block(p, f, gi)
+    while r % rb:
+        rb //= 2
+    n_p = p // pb
+    kernel = functools.partial(_gram_kernel_aug, n_p=n_p)
+    return pl.pallas_call(
+        kernel,
+        grid=(r // rb, n_p),
+        in_specs=[
+            pl.BlockSpec((rb, pb, f), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, f, f), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, f, f), jnp.dtype(out_dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((rb, f, f), jnp.float32),
+        ],
+    )(g)
+
+
 @functools.partial(jax.jit, static_argnames=("lam", "cg_iters", "cg_tol",
                                              "factor_dtype", "aug"))
 def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
@@ -617,12 +679,34 @@ def _cg_solve_reg_kernel(a_ref, diag_ref, b_ref, x0_ref, out_ref, *,
                             cg_iters, cg_tol, matvec_impl=matvec_impl)
 
 
+def _cg_solve_aug_kernel(a_ref, diag_ref, x0_ref, out_ref, *,
+                         cg_iters: int, cg_tol: float,
+                         matvec_impl: str = "vpu"):
+    """CG over an augmented accumulator A' (b in row f-1, sum(r^2) in
+    the corner): b is extracted and the value row/column masked on the
+    f32 VMEM copy, so the XLA side never pays an A-sized unpack pass."""
+    f = out_ref.shape[-1]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+    eye = (row_i == col_i).astype(jnp.float32)
+    keep = jnp.logical_and(row_i < f - 1, col_i < f - 1
+                           ).astype(jnp.float32)
+    a_full = a_ref[...].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    b = a_full[:, f - 1, :] * (lane < f - 1).astype(jnp.float32)
+    a = a_full * keep[None] + \
+        diag_ref[...][:, 0][:, None, None] * eye[None]
+    out_ref[...] = _cg_loop(a, b, x0_ref[...].astype(jnp.float32),
+                            cg_iters, cg_tol, matvec_impl=matvec_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("cg_iters", "cg_tol",
-                                             "matvec_impl"))
-def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
+                                             "matvec_impl", "aug"))
+def solve_cg_pallas(a: jnp.ndarray, b: Optional[jnp.ndarray],
+                    x0: jnp.ndarray,
                     cg_iters: int = 6, cg_tol: float = 1e-4,
                     diag: Optional[jnp.ndarray] = None,
-                    matvec_impl: str = "vpu"):
+                    matvec_impl: str = "vpu", aug: bool = False):
     """Batched CG with A staged through VMEM exactly once.
 
     The XLA batched CG (ops/solve.solve_cg) re-reads A (f*f*4 B/system)
@@ -639,6 +723,8 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     diag: optional (R,) f32 Tikhonov diagonal added to the f32 VMEM
     copy of A — lets a bf16 A stay bf16 in HBM instead of being upcast
     by an XLA `a + diag*I` before the solve.
+    aug: A is the augmented accumulator (b in row f-1 — pass b=None);
+    requires diag.
     """
     r, f, _ = a.shape
     rb = _cg_row_block(f, jnp.dtype(a.dtype).itemsize)
@@ -649,7 +735,8 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
         # zero rows solve to zero (alpha guard), so plain zero padding
         # is inert and keeps one compiled shape per (rb, f)
         a = jnp.pad(a, ((0, r_pad - r), (0, 0), (0, 0)))
-        b = jnp.pad(b, ((0, r_pad - r), (0, 0)))
+        if b is not None:
+            b = jnp.pad(b, ((0, r_pad - r), (0, 0)))
         x0 = jnp.pad(x0, ((0, r_pad - r), (0, 0)))
         if diag is not None:
             diag = jnp.pad(diag, (0, r_pad - r))
@@ -657,7 +744,19 @@ def solve_cg_pallas(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((rb, f), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    if diag is None:
+    if aug:
+        if diag is None:
+            raise ValueError("aug solve requires diag")
+        kernel = functools.partial(_cg_solve_aug_kernel,
+                                   cg_iters=int(cg_iters),
+                                   cg_tol=float(cg_tol),
+                                   matvec_impl=matvec_impl)
+        args = (a, diag.astype(jnp.float32).reshape(r_pad, 1), x0)
+        in_specs = [a_spec,
+                    pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    v_spec]
+    elif diag is None:
         kernel = functools.partial(_cg_solve_kernel,
                                    cg_iters=int(cg_iters),
                                    cg_tol=float(cg_tol),
@@ -731,6 +830,22 @@ def aug_enabled(cfg) -> bool:
     if getattr(cfg, "aug_gram", "off") == "off" or cfg.f >= cfg.f_pad:
         return False
     return aug_available()
+
+
+def panel_aug_enabled(cfg) -> bool:
+    """Whether accumulate-then-solve paths (panel/batched-panel/sharded
+    reduce) should use the augmented accumulator: one combined A'
+    carries b (and sum r^2) through scatter-adds and psums into the
+    solve. Gated on CG (cholesky/lu keep split buffers), a free lane,
+    no save_model (its dump contract is split (A, b)), and — on the
+    pallas backend — the kernels compiling. On the XLA backend the
+    einsum/unpack twin applies, so only the flag and lane gates bind."""
+    if cfg.solver != "cg" or getattr(cfg, "save_model", False) or \
+            cfg.aug_gram == "off" or cfg.f >= cfg.f_pad:
+        return False
+    if cfg.backend != "pallas" or not fused_available():
+        return True
+    return aug_available() and cg_solve_available()
 
 
 def backend_uses_pallas(cfg) -> bool:

@@ -96,7 +96,8 @@ def solve_cg(a: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 def solve(a, b, x0, solver: str = "cg", cg_iters: int = 6,
-          cg_tol: float = 1e-4, backend: str = "xla", diag=None):
+          cg_tol: float = 1e-4, backend: str = "xla", diag=None,
+          aug: bool = False):
     """backend="pallas" routes CG through the VMEM-resident kernel
     (pallas_solve.solve_cg_pallas) — A is read from HBM once instead of
     once per matvec. Falls back to the XLA loop when the kernel is
@@ -104,14 +105,25 @@ def solve(a, b, x0, solver: str = "cg", cg_iters: int = 6,
 
     diag: optional (R,) Tikhonov diagonal. When given, `a` is the RAW
     Gram and the regularizer is applied at solve time — in VMEM on the
-    pallas path, so a bf16 A is never upcast in HBM."""
+    pallas path, so a bf16 A is never upcast in HBM.
+
+    aug: `a` is the augmented accumulator carrying b in row f-1 (pass
+    b=None); the pallas kernel unpacks it in VMEM, the fallback unpacks
+    in XLA (one A-sized pass)."""
     if solver == "cg":
         if backend == "pallas" and a.shape[-1] % 128 == 0:
             from cumf_als_tpu.ops.pallas_solve import (cg_solve_available,
                                                        solve_cg_pallas)
             if cg_solve_available():
                 return solve_cg_pallas(a, b, x0, cg_iters=cg_iters,
-                                       cg_tol=cg_tol, diag=diag)
+                                       cg_tol=cg_tol, diag=diag, aug=aug)
+    if aug:
+        f = a.shape[-1]
+        lane = jnp.arange(f)
+        af = a.astype(jnp.float32)
+        b = af[:, f - 1, :] * (lane < f - 1)
+        keep = (lane < f - 1).astype(jnp.float32)
+        a = af * keep[None, :, None] * keep[None, None, :]
     if diag is not None:
         f = a.shape[-1]
         a = a.astype(jnp.float32) + \

@@ -231,7 +231,9 @@ class ShardedALS:
         (A, b) per chunk, scatter-add into the per-device accumulators.
         One program per shapes signature, reused across panels (the
         panel start is a traced scalar)."""
-        key = ("xp_group_sm", shapes_key)
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(self.cfg)
+        key = ("xp_group_sm", shapes_key, aug)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -242,6 +244,40 @@ class ShardedALS:
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
+
+        if aug:
+            def body_aug(theta_pad, p_start, a_buf, chunk_arrays):
+                f = theta_pad.shape[1]
+                tp = jax.lax.dynamic_slice(theta_pad, (p_start, 0),
+                                           (s, f))
+                if cfg.factor_dtype == "bf16":
+                    tp = tp.astype(jnp.bfloat16)
+                tp = jnp.concatenate(
+                    [tp, jnp.zeros((1, f), tp.dtype)], axis=0)
+                a = a_buf[0]
+                from cumf_als_tpu.ops.pallas_solve import (
+                    augment_g, gather_gram_aug_out)
+                for rows, cols, vals in chunk_arrays:
+                    if use_pallas:
+                        a_part = gather_gram_aug_out(
+                            tp, cols[0], vals[0],
+                            out_dtype=str(a.dtype))
+                    else:
+                        g = augment_g(jnp.take(tp, cols[0], axis=0),
+                                      vals[0])
+                        a_part = jnp.einsum(
+                            "rpf,rpg->rfg", g, g, precision=prec,
+                            preferred_element_type=jnp.float32)
+                    a = a.at[rows[0]].add(a_part.astype(a.dtype),
+                                          mode="drop")
+                return a[None]
+
+            sm = jax.shard_map(
+                body_aug, mesh=self.mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
+            self._fn_cache[key] = sm
+            return sm
 
         def body(theta_pad, p_start, a_buf, b_buf, chunk_arrays):
             f = theta_pad.shape[1]
@@ -277,16 +313,21 @@ class ShardedALS:
         return sm
 
     def _x_panel_group_fn(self, shapes_key):
-        key = ("xp_group", shapes_key)
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(self.cfg)
+        key = ("xp_group", shapes_key, aug)
         if key not in self._fn_cache:
             self._fn_cache[key] = jax.jit(
                 self._x_panel_group_sm(shapes_key),
-                donate_argnums=(2, 3))
+                donate_argnums=(2,) if aug else (2, 3))
         return self._fn_cache[key]
 
     def _x_panel_solve_sm(self):
-        """Batched per-device solves over the accumulated (A, b)."""
-        key = ("xp_solve_sm", self.cfg.solver)
+        """Batched per-device solves over the accumulated (A, b) — or
+        the combined augmented A' (b in row f-1) in aug mode."""
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(self.cfg)
+        key = ("xp_solve_sm", self.cfg.solver, aug)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -294,42 +335,56 @@ class ShardedALS:
         m_pad = self._x_m_pad
         batch = self._x_solve_batch
 
-        def body(a_buf, b_buf, x_shard, nnz_loc):
-            a_full, b_full, nnz = a_buf[0], b_buf[0], nnz_loc[0]
+        def solve_full(a_full, b_full, nnz, x_shard):
             f = a_full.shape[-1]
-            x0_full = jnp.pad(x_shard[0], ((0, m_pad - m_loc), (0, 0)))
+            x0_full = jnp.pad(x_shard, ((0, m_pad - m_loc), (0, 0)))
             outs = []
             for lo in range(0, m_pad, batch):
                 # raw (possibly bf16) A slice; the regularizer rides
                 # into the solve (in-VMEM on the pallas path)
                 a = jax.lax.dynamic_slice(
                     a_full, (lo, 0, 0), (batch, f, f))
-                b = jax.lax.dynamic_slice(b_full, (lo, 0), (batch, f))
+                b = None if aug else \
+                    jax.lax.dynamic_slice(b_full, (lo, 0), (batch, f))
                 x0 = jax.lax.dynamic_slice(x0_full, (lo, 0), (batch, f))
                 nz = jax.lax.dynamic_slice(nnz, (lo,), (batch,)
                                            ).astype(jnp.float32)
                 diag = nz * cfg.lam + (nz == 0)
                 sv = solve(a, b, x0, solver=cfg.solver,
                            cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                           backend=cfg.backend, diag=diag)
+                           backend=cfg.backend, diag=diag, aug=aug)
                 outs.append(sv * (nz > 0)[:, None])
             solved = outs[0] if len(outs) == 1 else \
                 jnp.concatenate(outs, axis=0)
             return solved[:m_loc][None]
 
-        sm = jax.shard_map(
-            body, mesh=self.mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS), check_vma=False)
+        if aug:
+            def body_aug(a_buf, x_shard, nnz_loc):
+                return solve_full(a_buf[0], None, nnz_loc[0], x_shard[0])
+            sm = jax.shard_map(
+                body_aug, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
+        else:
+            def body(a_buf, b_buf, x_shard, nnz_loc):
+                return solve_full(a_buf[0], b_buf[0], nnz_loc[0],
+                                  x_shard[0])
+            sm = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
         self._fn_cache[key] = sm
         return sm
 
     def _x_panel_solve_fn(self):
-        key = ("xp_solve", self.cfg.solver)
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(self.cfg)
+        key = ("xp_solve", self.cfg.solver, aug)
         if key not in self._fn_cache:
-            self._fn_cache[key] = jax.jit(self._x_panel_solve_sm(),
-                                          donate_argnums=(0, 1, 2))
+            self._fn_cache[key] = jax.jit(
+                self._x_panel_solve_sm(),
+                donate_argnums=(0, 1) if aug else (0, 1, 2))
         return self._fn_cache[key]
 
     def _x_panel_groups(self):
@@ -349,34 +404,45 @@ class ShardedALS:
         group (run()); jitted=False composes the raw shard_maps inside
         an enclosing jit trace (fused_iteration)."""
         cfg = self.cfg
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(cfg)
         steps_data, nnz_loc = xp_data
         s, f = self.x_panel_size, cfg.f_pad
         pad_to = self.x_n_panels * s
         a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" \
             else jnp.float32
         if jitted:
-            key = ("xp_init", pad_to)
+            key = ("xp_init", pad_to, aug)
             if key not in self._fn_cache:
-                self._fn_cache[key] = (
-                    jax.jit(lambda th: jnp.pad(
-                        th, ((0, pad_to - th.shape[0]), (0, 0))),
-                        out_shardings=self._repl),
-                    jax.jit(lambda: (
+                if aug:
+                    zeros_fn = jax.jit(lambda: jnp.zeros(
+                        (self.n_dev, self._x_m_pad, f, f), a_dtype),
+                        out_shardings=self._shard)
+                else:
+                    zeros_fn = jax.jit(lambda: (
                         jnp.zeros((self.n_dev, self._x_m_pad, f, f),
                                   a_dtype),
                         jnp.zeros((self.n_dev, self._x_m_pad, f),
                                   jnp.float32)),
-                        out_shardings=(self._shard, self._shard)))
+                        out_shardings=(self._shard, self._shard))
+                self._fn_cache[key] = (
+                    jax.jit(lambda th: jnp.pad(
+                        th, ((0, pad_to - th.shape[0]), (0, 0))),
+                        out_shardings=self._repl),
+                    zeros_fn)
             pad_fn, zeros_fn = self._fn_cache[key]
             theta_pad = pad_fn(theta)
-            a_buf, b_buf = zeros_fn()
+            if aug:
+                a_buf, b_buf = zeros_fn(), None
+            else:
+                a_buf, b_buf = zeros_fn()
         else:
             theta_pad = jnp.pad(
                 theta, ((0, pad_to - theta.shape[0]), (0, 0)))
             a_buf = jax.lax.with_sharding_constraint(
                 jnp.zeros((self.n_dev, self._x_m_pad, f, f), a_dtype),
                 self._shard)
-            b_buf = jax.lax.with_sharding_constraint(
+            b_buf = None if aug else jax.lax.with_sharding_constraint(
                 jnp.zeros((self.n_dev, self._x_m_pad, f), jnp.float32),
                 self._shard)
         for panel, idxs in self._x_panel_groups():
@@ -385,15 +451,24 @@ class ShardedALS:
                 for i in idxs)
             fn = self._x_panel_group_fn(shapes_key) if jitted \
                 else self._x_panel_group_sm(shapes_key)
+            chunk_args = tuple(steps_data[i] for i in idxs)
             p_start = jnp.asarray(panel * s, jnp.int32)
-            args = (theta_pad, p_start, a_buf, b_buf,
-                    tuple(steps_data[i] for i in idxs))
-            a_buf, b_buf = call_with_vmem_backoff(
-                fn, *args, uses_pallas=backend_uses_pallas(self.cfg)) \
-                if jitted else fn(*args)
+            if aug:
+                args = (theta_pad, p_start, a_buf, chunk_args)
+                a_buf = call_with_vmem_backoff(
+                    fn, *args,
+                    uses_pallas=backend_uses_pallas(self.cfg)) \
+                    if jitted else fn(*args)
+            else:
+                args = (theta_pad, p_start, a_buf, b_buf, chunk_args)
+                a_buf, b_buf = call_with_vmem_backoff(
+                    fn, *args,
+                    uses_pallas=backend_uses_pallas(self.cfg)) \
+                    if jitted else fn(*args)
         fn = self._x_panel_solve_fn() if jitted \
             else self._x_panel_solve_sm()
-        args = (a_buf, b_buf, x_sharded, nnz_loc)
+        args = (a_buf, x_sharded, nnz_loc) if aug else \
+            (a_buf, b_buf, x_sharded, nnz_loc)
         return call_with_vmem_backoff(
             fn, *args, uses_pallas=backend_uses_pallas(self.cfg)) \
             if jitted else fn(*args)
@@ -408,6 +483,8 @@ class ShardedALS:
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
+        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        aug = panel_aug_enabled(cfg)
 
         # bf16 partials (CUMF_TT_FP16 analog): halves the partial-Gram
         # HBM writes AND the ICI all-reduce bytes; the regularizer is
@@ -418,18 +495,31 @@ class ShardedALS:
         def body(x_shard, theta, se_in, rows, nnz_local, nnz_total,
                  cols, vals):
             xs = x_shard[0]
-            if use_pallas:
+            if cfg.factor_dtype == "bf16":
+                xs = xs.astype(jnp.bfloat16)
+            xs_ext = jnp.concatenate(
+                [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
+            if aug:
+                # combined partial A' (b in row f-1, sum r^2 in the
+                # corner): ONE psum replaces the (A, b, vsq) trio
+                from cumf_als_tpu.ops.pallas_solve import (
+                    augment_g, gather_gram_aug_out)
+                if use_pallas:
+                    a_part = gather_gram_aug_out(xs_ext, cols[0],
+                                                 vals[0], out_dtype=a_dt)
+                else:
+                    g = augment_g(jnp.take(xs_ext, cols[0], axis=0),
+                                  vals[0])
+                    a_part = jnp.einsum(
+                        "rpf,rpg->rfg", g, g,
+                        precision=_PRECISIONS[cfg.gram_precision],
+                        preferred_element_type=jnp.float32
+                    ).astype(jnp.dtype(a_dt))
+            elif use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_out
-                if cfg.factor_dtype == "bf16":
-                    xs = xs.astype(jnp.bfloat16)
-                xs_ext = jnp.concatenate(
-                    [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
                 a_part, b_part = gather_gram_out(xs_ext, cols[0],
                                                  vals[0], out_dtype=a_dt)
             else:
-                xs_ext = jnp.concatenate(
-                    [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)],
-                    axis=0)
                 a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
                                              cfg.gram_precision,
                                              cfg.factor_dtype)
@@ -437,19 +527,27 @@ class ShardedALS:
             # ICI all-reduce of partial Gram/RHS — replaces the reference's
             # anchor-GPU memcpy+saxpy loop (hugewiki.cu:2703-2730).
             a = jax.lax.psum(a_part, DATA_AXIS)
-            b = jax.lax.psum(b_part, DATA_AXIS)
             nnzf = nnz_total.astype(jnp.float32)
             diag = nnzf * cfg.lam + (nnzf == 0)
             th0 = jnp.take(theta, rows, axis=0, mode="fill", fill_value=0.0)
-            solved = solve(a, b, th0, solver=cfg.solver,
+            if aug:
+                f = a.shape[-1]
+                lane = jnp.arange(f)
+                brow = a[:, f - 1, :].astype(jnp.float32)  # [b | vsq]
+                b = brow * (lane < f - 1)
+                vsq = brow[:, f - 1]
+            else:
+                b = jax.lax.psum(b_part, DATA_AXIS)
+                vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
+                                   DATA_AXIS)
+            solved = solve(a, None if aug else b, th0, solver=cfg.solver,
                            cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
-                           backend=cfg.backend, diag=diag)
+                           backend=cfg.backend, diag=diag, aug=aug)
             solved = solved * (nnzf > 0)[:, None]
             theta = theta.at[rows].set(solved, mode="drop")
             # free train-RMSE pieces (exact identity, ops/rmse.py) from
-            # the raw (un-regularized) A
-            vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
-                               DATA_AXIS)
+            # the raw (un-regularized) A; in aug mode the value row/
+            # column of A' contribute nothing (solved lane f-1 is zero)
             xt = solved
             cross = jnp.sum(xt * b, axis=-1)
             aq = jnp.einsum("rfg,rg->rf", a, xt,
