@@ -226,7 +226,7 @@ def _se_terms_aug(a_buf, x_new):
 
 
 @partial(jax.jit, static_argnames=("batch", "solver", "cg_iters",
-                                   "backend"))
+                                   "cg_tol", "backend"))
 def _solve_slice_aug(a_buf, x0_full, row_nnz, lo, lam, batch, solver,
                      cg_iters, cg_tol, backend="xla"):
     """_solve_slice over the augmented accumulator: b unpacks from row
@@ -260,7 +260,7 @@ def _se_terms(a_buf, b_buf, x_new):
 
 
 @partial(jax.jit, static_argnames=("batch", "solver", "cg_iters",
-                                   "backend"))
+                                   "cg_tol", "backend"))
 def _solve_slice(a_buf, b_buf, x0_full, row_nnz, lo, lam, batch, solver,
                  cg_iters, cg_tol, backend="xla"):
     from cumf_als_tpu.ops.solve import solve as _solve
