@@ -323,18 +323,24 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
         se_ref[...] = jnp.maximum(r2_scr[...] - 2.0 * cross + quad, 0.0)
 
 
-def _kernel_aug(g_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr, *,
+def _kernel_aug(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref,
+                a_scr, *,
                 lam: float, cg_iters: int, cg_tol: float, n_p: int,
                 debug: bool = False, matvec_impl: str = "vpu"):
-    """Augmented-lane variant (r3): lane f-1 of G carries the rating
-    value, so ONE MXU `dot_general` accumulates the Gram A (the
-    (f-1)x(f-1) block), the RHS b (row f-1) and the per-row sum(r^2)
-    (the corner) together. The separate VPU b/r2 broadcast passes — and
-    their f32 VMEM temporaries, the largest term in the fused kernel's
-    footprint — disappear, and G feeds the MXU in its storage dtype
-    (no f32 staging copy). Requires true factor width <= f-1, which
-    holds whenever F is not a multiple of 128 (the reference's own
-    F=100 headline shape, main.cpp:33-35, pads to 128 lanes)."""
+    """Augmented-lane variant (r3): the rating value is spliced into
+    lane f-1 of G *in VMEM* (lane f-1 of the gathered table is zero, so
+    it is one masked VPU add), then ONE MXU `dot_general` accumulates
+    the Gram A (the (f-1)x(f-1) block), the RHS b (row f-1) and the
+    per-row sum(r^2) (the corner) together. The separate VPU b/r2
+    broadcast passes — and their f32 VMEM temporaries, the largest term
+    in the fused kernel's footprint — disappear, and G feeds the MXU in
+    its storage dtype (no f32 staging copy). Splicing here rather than
+    in XLA matters: a pre-kernel concat does NOT fuse into the gather,
+    so it re-materialized the whole gathered G in HBM (measured +0.21
+    s/iter on Netflix, round3_logs/netflix_aug.log). Requires true
+    factor width <= f-1, which holds whenever F is not a multiple of
+    128 (the reference's own F=100 headline shape, main.cpp:33-35,
+    pads to 128 lanes)."""
     pb = pl.program_id(1)
     f = out_ref.shape[-1]
 
@@ -343,6 +349,12 @@ def _kernel_aug(g_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr, *,
         a_scr[...] = jnp.zeros_like(a_scr)
 
     g = g_ref[...]                                   # storage dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, f), 2)
+    # the minor-dim insert must happen on the f32 vals (Mosaic only
+    # supports non-no-op minor-dim inserts for 32-bit types); the
+    # masked product then casts down to the storage dtype
+    g = g + (vals_ref[...][:, :, None] *
+             (lane == f - 1).astype(jnp.float32)).astype(g.dtype)
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (R_b, f, f)
@@ -382,22 +394,18 @@ def _kernel_aug(g_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr, *,
 @functools.partial(jax.jit,
                    static_argnames=("lam", "cg_iters", "cg_tol", "debug",
                                     "matvec_impl"))
-def fused_gram_cg_aug(g: jnp.ndarray, nnz: jnp.ndarray, x0: jnp.ndarray,
+def fused_gram_cg_aug(g: jnp.ndarray, vals: jnp.ndarray,
+                      nnz: jnp.ndarray, x0: jnp.ndarray,
                       lam: float, cg_iters: int = 6, cg_tol: float = 1e-4,
                       debug: bool = False, matvec_impl: str = "vpu"):
-    """Fused Gram+CG over an augmented G (R, P, f) whose lane f-1 holds
-    the rating values (zero-padded contraction slots hold zero there
-    too, so padding stays inert). Returns (x (R, f), se (R, 1)); lane
-    f-1 of x is identically zero."""
+    """Fused Gram+CG over G (R, P, f) with lane f-1 all-zero and vals
+    (R, P) the rating values, spliced into lane f-1 in VMEM (padded
+    contraction slots hold zero in both, so padding stays inert).
+    Returns (x (R, f), se (R, 1)); lane f-1 of x is identically zero."""
+    g, vals = _maybe_pad_p(g, vals, g.shape[2])
     r, p, f = g.shape
     gi = jnp.dtype(g.dtype).itemsize
     pb = _p_block(p, f, gi)
-    if pb == p and 8 * _per_row_bytes(pb, f, gi) > _VMEM_BUDGET \
-            and p % 128:
-        p_new = -(-p // 128) * 128
-        g = jnp.pad(g, ((0, 0), (0, p_new - p), (0, 0)))
-        p = p_new
-        pb = _p_block(p, f, gi)
     rb = _row_block(p, f, gi)
     while r % rb:
         rb //= 2
@@ -413,6 +421,8 @@ def fused_gram_cg_aug(g: jnp.ndarray, nnz: jnp.ndarray, x0: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((rb, pb, f), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -432,7 +442,7 @@ def fused_gram_cg_aug(g: jnp.ndarray, nnz: jnp.ndarray, x0: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((rb, f, f), jnp.float32),
         ],
-    )(g, nnz_f, x0)
+    )(g, vals, nnz_f, x0)
 
 
 def augment_g(g: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
@@ -577,18 +587,27 @@ def gather_gram_out(table_ext, cols, vals, factor_dtype="f32",
     )(g, vals)
 
 
-def _gram_kernel_aug(g_ref, a_ref, a_scr, *, n_p: int):
-    """Gram-out over an augmented G: the single accumulated output A'
-    carries the raw Gram (lanes < f-1), the RHS b (row f-1) and the
-    per-row sum(r^2) (corner). The panel paths then accumulate/psum ONE
-    buffer and the b scatter-add chain disappears entirely."""
+def _gram_kernel_aug(g_ref, vals_ref, a_ref, a_scr, *, n_p: int):
+    """Gram-out over the in-VMEM-augmented G: the single accumulated
+    output A' carries the raw Gram (lanes < f-1), the RHS b (row f-1)
+    and the per-row sum(r^2) (corner). The panel paths then
+    accumulate/psum ONE buffer and the b scatter-add chain disappears
+    entirely. The value lane is spliced here (not in XLA) so the
+    gathered G materializes in HBM exactly once — see _kernel_aug."""
     pb = pl.program_id(1)
+    f = a_ref.shape[-1]
 
     @pl.when(pb == 0)
     def _():
         a_scr[...] = jnp.zeros_like(a_scr)
 
     g = g_ref[...]                                   # storage dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, f), 2)
+    # the minor-dim insert must happen on the f32 vals (Mosaic only
+    # supports non-no-op minor-dim inserts for 32-bit types); the
+    # masked product then casts down to the storage dtype
+    g = g + (vals_ref[...][:, :, None] *
+             (lane == f - 1).astype(jnp.float32)).astype(g.dtype)
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -608,16 +627,10 @@ def gather_gram_aug_out(table_ext, cols, vals, factor_dtype="f32",
     if factor_dtype == "bf16":
         table_ext = table_ext.astype(jnp.bfloat16)
     g = jnp.take(table_ext, cols, axis=0)
-    g = augment_g(g, vals)
+    g, vals = _maybe_pad_p(g, vals, g.shape[2])
     r, p, f = g.shape
     gi = jnp.dtype(g.dtype).itemsize
     pb = _p_block(p, f, gi)
-    if pb == p and 8 * _per_row_bytes(pb, f, gi) > _VMEM_BUDGET \
-            and p % 128:
-        p_new = -(-p // 128) * 128
-        g = jnp.pad(g, ((0, 0), (0, p_new - p), (0, 0)))
-        p = p_new
-        pb = _p_block(p, f, gi)
     rb = _row_block(p, f, gi)
     while r % rb:
         rb //= 2
@@ -629,6 +642,8 @@ def gather_gram_aug_out(table_ext, cols, vals, factor_dtype="f32",
         in_specs=[
             pl.BlockSpec((rb, pb, f), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, f, f), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -636,7 +651,7 @@ def gather_gram_aug_out(table_ext, cols, vals, factor_dtype="f32",
         scratch_shapes=[
             pltpu.VMEM((rb, f, f), jnp.float32),
         ],
-    )(g)
+    )(g, vals)
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "cg_iters", "cg_tol",
@@ -652,7 +667,7 @@ def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
         table_ext = table_ext.astype(jnp.bfloat16)  # cast BEFORE gather
     g = jnp.take(table_ext, cols, axis=0)
     if aug:
-        return fused_gram_cg_aug(augment_g(g, vals), nnz, x0, lam,
+        return fused_gram_cg_aug(g, vals, nnz, x0, lam,
                                  cg_iters=cg_iters, cg_tol=cg_tol)
     return fused_gram_cg(g, vals, nnz, x0, lam, cg_iters=cg_iters,
                          cg_tol=cg_tol)
@@ -797,11 +812,12 @@ def aug_available() -> bool:
     global _AUG_STATUS
     if _AUG_STATUS is None:
         try:
-            g = jnp.ones((8, 16, 128), jnp.float32)
+            # lane f-1 must be zero (the kernel splices vals there)
+            g = jnp.ones((8, 16, 128), jnp.float32).at[:, :, -1].set(0.0)
             v = jnp.full((8, 16), 2.0, jnp.float32)
             n = jnp.full((8,), 16, jnp.int32)
             x0 = jnp.zeros((8, 128), jnp.float32)
-            out, _se = fused_gram_cg_aug(augment_g(g, v), n, x0, 0.1)
+            out, _se = fused_gram_cg_aug(g, v, n, x0, 0.1)
             arr = np.asarray(out)
             _AUG_STATUS = bool(np.isfinite(arr).all()
                                and np.abs(arr[:, -1]).max() == 0.0)

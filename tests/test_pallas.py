@@ -117,8 +117,8 @@ class TestAugmentedGram:
         x_ref, se_ref = ps.fused_gram_cg(jnp.asarray(g),
                                          jnp.asarray(vals), *args,
                                          cg_iters=6, cg_tol=1e-4)
-        ga = ps.augment_g(jnp.asarray(g), jnp.asarray(vals))
-        x, se = ps.fused_gram_cg_aug(ga, *args, cg_iters=6, cg_tol=1e-4)
+        x, se = ps.fused_gram_cg_aug(jnp.asarray(g), jnp.asarray(vals),
+                                     *args, cg_iters=6, cg_tol=1e-4)
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(se), np.asarray(se_ref),
@@ -129,8 +129,8 @@ class TestAugmentedGram:
         r, p, f, lam = 16, 40, 128, 0.1
         g, vals, nnz = self._aug_problem(r, p, f, 100, seed=5,
                                          zero_rows=(1, 7))
-        ga = ps.augment_g(jnp.asarray(g), jnp.asarray(vals))
-        x, se = ps.fused_gram_cg_aug(ga, jnp.asarray(nnz),
+        x, se = ps.fused_gram_cg_aug(jnp.asarray(g), jnp.asarray(vals),
+                                     jnp.asarray(nnz),
                                      jnp.zeros((r, f), jnp.float32),
                                      lam, cg_iters=60, cg_tol=1e-12)
         ref_x, ref_se = _reference(g, vals, nnz, lam, f)
