@@ -216,9 +216,15 @@ def main() -> int:
     t0 = time.monotonic()
     res = model.run(x0, th0)
     total = time.monotonic() - t0
+    # Per-iteration line reports the COMBINED x+theta wall time — the
+    # same quantity the headline metric medians. Without debug_timing
+    # the phase boundary has no device sync, so a per-phase split here
+    # would be dispatch time only (misleading; VERDICT r3). Run with
+    # the CLI and debug_timing for honest per-phase lines.
     for h in res.history:
-        log(f"[bench] iter {h.iteration}: x={h.x_seconds:.3f}s "
-            f"theta={h.theta_seconds:.3f}s train_rmse={h.train_rmse:.4f} "
+        log(f"[bench] iter {h.iteration}: "
+            f"x+theta={h.x_seconds + h.theta_seconds:.3f}s "
+            f"train_rmse={h.train_rmse:.4f} "
             f"test_rmse={h.test_rmse:.4f}")
 
     def run_median(r):

@@ -103,6 +103,7 @@ class OutOfCoreALS:
             theta = theta.astype(jnp.bfloat16)
         table_ext = extend_table(theta)
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
                                                        fused_available,

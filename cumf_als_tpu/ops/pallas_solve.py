@@ -805,6 +805,32 @@ def solve_cg_pallas(a: jnp.ndarray, b: Optional[jnp.ndarray],
 _STATUS: Optional[bool] = None
 _AUG_STATUS: Optional[bool] = None
 _CG_STATUS: Optional[bool] = None
+_PANEL_AUG_STATUS: Optional[bool] = None
+
+
+def panel_aug_available() -> bool:
+    """Probe-compile every aug kernel a panel path can dispatch — the
+    aug gram-out (_gram_kernel_aug) and the aug CG solve
+    (_cg_solve_aug_kernel). ADVICE r3: aug_available() probes only the
+    fully-fused kernel, so a toolchain where just these two variants
+    fail to compile crashed mid-phase instead of falling back to the
+    split-buffer path."""
+    global _PANEL_AUG_STATUS
+    if _PANEL_AUG_STATUS is None:
+        try:
+            table = jnp.ones((17, 128), jnp.float32).at[:, -1].set(0.0)
+            cols = jnp.tile(jnp.arange(16, dtype=jnp.int32), (8, 1))
+            vals = jnp.full((8, 16), 2.0, jnp.float32)
+            a_part = gather_gram_aug_out(table, cols, vals)
+            diag = jnp.full((8,), 1.0, jnp.float32)
+            x0 = jnp.zeros((8, 128), jnp.float32)
+            out = solve_cg_pallas(a_part, None, x0, diag=diag, aug=True)
+            arr = np.asarray(out)
+            _PANEL_AUG_STATUS = bool(np.isfinite(arr).all()
+                                     and np.abs(arr[:, -1]).max() == 0.0)
+        except Exception:
+            _PANEL_AUG_STATUS = False
+    return _PANEL_AUG_STATUS
 
 
 def aug_available() -> bool:
@@ -857,15 +883,26 @@ def panel_aug_enabled(cfg) -> bool:
     reduce) should use the augmented accumulator: one combined A'
     carries b (and sum r^2) through scatter-adds and psums into the
     solve. Gated on CG (cholesky/lu keep split buffers), a free lane,
-    no save_model (its dump contract is split (A, b)), and — on the
-    pallas backend — the kernels compiling. On the XLA backend the
-    einsum/unpack twin applies, so only the flag and lane gates bind."""
+    no save_model (its dump contract is split (A, b)), f32 accumulators,
+    and — on the pallas backend — the kernels compiling. On the XLA
+    backend the einsum/unpack twin applies, so the flag/lane/dtype
+    gates bind.
+
+    The gram_dtype gate (ADVICE r3): in aug mode the RHS b rides row
+    f-1 of the gram_dtype accumulator and the train-RMSE vsq term rides
+    its corner; with bf16 accumulators both are rounded at every
+    scatter-add/psum, whereas the split-buffer paths deliberately keep
+    b (and the vsq psum) in f32. Measured on Netflix: reported train
+    RMSE 0.40146 (bf16 aug) vs 0.39284 (split) — so aug applies only
+    when the accumulator is f32 and carries b exactly."""
     if cfg.solver != "cg" or getattr(cfg, "save_model", False) or \
             cfg.aug_gram == "off" or cfg.f >= cfg.f_pad:
         return False
+    if cfg.gram_dtype != "f32":
+        return False
     if cfg.backend != "pallas" or not fused_available():
         return True
-    return aug_available() and cg_solve_available()
+    return panel_aug_available()
 
 
 def backend_uses_pallas(cfg) -> bool:

@@ -531,6 +531,9 @@ class ShardedALS:
             diag = nnzf * cfg.lam + (nnzf == 0)
             th0 = jnp.take(theta, rows, axis=0, mode="fill", fill_value=0.0)
             if aug:
+                # aug implies f32 accumulators (panel_aug_enabled's
+                # gram_dtype gate, ADVICE r3), so the b row and the vsq
+                # corner read back exact f32 psums here
                 f = a.shape[-1]
                 lane = jnp.arange(f)
                 brow = a[:, f - 1, :].astype(jnp.float32)  # [b | vsq]
