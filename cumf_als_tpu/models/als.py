@@ -25,8 +25,9 @@ from cumf_als_tpu.ops.pallas_solve import (backend_uses_pallas,
 from cumf_als_tpu.ops.rmse import fused_sq_err, rmse_direct
 from cumf_als_tpu.ops.solve import solve
 from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelPlan,
-                                     build_batched_panel_plan,
-                                     build_panel_plan, build_update_plan)
+                                     SplitPlan, build_batched_panel_plan,
+                                     build_panel_plan, build_split_plan,
+                                     build_update_plan)
 from cumf_als_tpu.utils.io import COOMatrix, CSRMatrix
 from cumf_als_tpu.utils.timing import seconds
 
@@ -70,6 +71,21 @@ class DeviceChunk:
         self.cols = jnp.asarray(chunk.cols)
         self.vals = jnp.asarray(chunk.vals)
         self.panel = getattr(chunk, "panel", 0)
+
+
+class DeviceSplitChunk:
+    """A SplitChunk's arrays resident on device (cols is a tuple of
+    per-part blocks)."""
+
+    __slots__ = ("parts", "widths", "rows", "nnz", "cols", "vals")
+
+    def __init__(self, chunk):
+        self.parts = chunk.parts
+        self.widths = chunk.widths
+        self.rows = jnp.asarray(chunk.rows)
+        self.nnz = jnp.asarray(chunk.nnz)
+        self.cols = tuple(jnp.asarray(c) for c in chunk.cols)
+        self.vals = jnp.asarray(chunk.vals)
 
 
 @partial(jax.jit, static_argnames=("panel_size",))
@@ -303,10 +319,30 @@ class ALS:
                                                  cfg.theta_batch)
         self.plan_seconds = seconds() - t0
 
-    def _phase_strategy(self, csr: CSRMatrix) -> str:
-        """Pick direct vs panelized Gram for one phase (see
-        ALSConfig.use_panels)."""
+    def _split_enabled(self, csr: CSRMatrix) -> bool:
+        """Whether the split-table direct path applies to this phase:
+        the gather table must exceed one part (otherwise plain direct
+        already gathers at the fast tier). "auto" additionally requires
+        the fused Gram+CG kernel (the XLA fallback would materialize
+        per-chunk (R, f, f) Gram buffers); "force" skips that gate for
+        CPU-backend tests and A/B runs."""
         cfg = self.cfg
+        if cfg.split_gather == "off" or \
+                csr.num_cols <= cfg.split_part_rows():
+            return False
+        if cfg.split_gather == "force":
+            return True
+        if cfg.backend == "pallas" and cfg.solver == "cg":
+            from cumf_als_tpu.ops.pallas_solve import fused_available
+            return fused_available()
+        return False
+
+    def _phase_strategy(self, csr: CSRMatrix) -> str:
+        """Pick direct vs panelized vs split-table Gram for one phase
+        (see ALSConfig.use_panels / split_gather)."""
+        cfg = self.cfg
+        if cfg.split_gather == "force" and self._split_enabled(csr):
+            return "split"
         if cfg.use_panels == "never":
             return "direct"
         a_bytes = (csr.num_rows + 1) * cfg.f_pad * cfg.f_pad * 4
@@ -322,10 +358,12 @@ class ALS:
             # plus the solve must then run through the XLA batched CG
             # instead of the fused in-VMEM kernel. Measured on Yahoo
             # F=100 (v5e): direct 7.44 s/iter vs batched-panel 11.74.
-            # Prefer direct whenever the fused Gram+CG kernel is
-            # available; batched_panel remains the fallback for the
-            # XLA backend (where direct would materialize per-chunk
-            # (R, f, f) Gram buffers at full-table gather rate).
+            # The split-table direct path beats both: every gather runs
+            # at the fast small-operand tier with no accumulator RMW
+            # (r4; scripts/bench_gather.py). Plain direct and
+            # batched_panel remain as fallbacks.
+            if self._split_enabled(csr):
+                return "split"
             if cfg.backend == "pallas" and cfg.solver == "cg":
                 from cumf_als_tpu.ops.pallas_solve import fused_available
                 if fused_available():
@@ -368,6 +406,16 @@ class ALS:
             plan = cached_build(
                 cfg.plan_cache_dir, "panel", csr, params,
                 lambda: build_panel_plan(csr, **params))
+        elif strategy == "split":
+            params = dict(part_size=cfg.split_part_rows(),
+                          min_width=cfg.min_bucket_width,
+                          max_width=cfg.max_bucket_width,
+                          chunk_nnz=chunk_nnz,
+                          chunk_rows=cfg.chunk_rows,
+                          octave_points=cfg.octave_points)
+            plan = cached_build(
+                cfg.plan_cache_dir, "split", csr, params,
+                lambda: build_split_plan(csr, **params))
         elif strategy == "batched_panel":
             # Large row batches + sparse-bucket promotion bound BOTH the
             # padding (fuller width buckets: Yahoo expansion 1.135 ->
@@ -398,6 +446,9 @@ class ALS:
 
     def _device_plan(self, plan):
         aux = {}
+        if isinstance(plan, SplitPlan):
+            aux["perm"] = jnp.asarray(plan.perm)
+            return plan, [DeviceSplitChunk(c) for c in plan.chunks], aux
         if isinstance(plan, BatchedPanelPlan):
             aux["batches"] = [
                 (jnp.asarray(b.global_ids), jnp.asarray(b.row_nnz),
@@ -448,6 +499,9 @@ class ALS:
     # ----- one phase -----
     def _update_phase(self, table: jnp.ndarray, current: jnp.ndarray,
                       plan_pair, collect_rmse_terms: bool):
+        if isinstance(plan_pair[0], SplitPlan):
+            return self._update_phase_split(table, current, plan_pair,
+                                            collect_rmse_terms)
         if isinstance(plan_pair[0], (PanelPlan, BatchedPanelPlan)):
             if isinstance(plan_pair[0], BatchedPanelPlan):
                 return self._update_phase_batched_panel(
@@ -649,6 +703,133 @@ class ALS:
             se = (_se_terms_aug(a_buf, new_pad) if aug else
                   _se_terms(a_buf, b_buf, new_pad)) + self._sum_r2()
         return new_pad[:m], se
+
+    def _update_phase_split(self, table: jnp.ndarray,
+                            current: jnp.ndarray, plan_pair,
+                            collect_rmse_terms: bool):
+        """Direct solves over a popularity-permuted, part-split gather
+        table (SplitPlan): every per-part gather operand stays under the
+        fast small-operand tier, the per-part G blocks concatenate along
+        the contraction axis, and one fused Gram+CG instance still sees
+        each row whole — no partial-Gram accumulators. The Yahoo-class
+        answer to the reference's texture-staged theta kernels
+        (reference hugewiki.cu:686-1688)."""
+        cfg = self.cfg
+        plan, chunks, aux = plan_pair
+        f = cfg.f_pad
+        s, k_parts = plan.part_size, plan.n_parts
+        perm = aux["perm"]
+        use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
+        use_aug = False
+        if use_pallas:
+            from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                       fused_available)
+            use_pallas = fused_available()
+            use_aug = use_pallas and aug_enabled(cfg)
+
+        def make_parts(table):
+            if cfg.factor_dtype == "bf16":
+                table = table.astype(jnp.bfloat16)
+            tp = jnp.take(table, perm, axis=0)
+            tp = jnp.pad(tp, ((0, k_parts * s - tp.shape[0]), (0, 0)))
+            zero = jnp.zeros((1, f), tp.dtype)
+            parts = tuple(
+                jnp.concatenate(
+                    [jax.lax.slice_in_dim(tp, k * s, (k + 1) * s), zero],
+                    axis=0)
+                for k in range(k_parts))
+            # barrier: stop XLA from folding slice-then-gather back
+            # into a gather on the big permuted table, which would
+            # reintroduce the slow large-operand tier
+            return jax.lax.optimization_barrier(parts)
+
+        def chunk_solve(parts, current, part_ids, ch_arrays):
+            rows, nnz, vals, cols_parts = ch_arrays
+            g = jnp.concatenate(
+                [jnp.take(parts[k], c, axis=0)
+                 for k, c in zip(part_ids, cols_parts)], axis=1)
+            x0 = jnp.take(current, rows, axis=0, mode="fill",
+                          fill_value=0.0)
+            if use_pallas:
+                from cumf_als_tpu.ops.pallas_solve import (
+                    fused_gram_cg, fused_gram_cg_aug)
+                if use_aug:
+                    solved, se = fused_gram_cg_aug(
+                        g, vals, nnz, x0, cfg.lam, cg_iters=cfg.cg_iters,
+                        cg_tol=cfg.cg_tol)
+                else:
+                    solved, se = fused_gram_cg(
+                        g, vals, nnz, x0, cfg.lam, cg_iters=cfg.cg_iters,
+                        cg_tol=cfg.cg_tol)
+                return solved, jnp.sum(se)
+            from cumf_als_tpu.ops.gram import _PRECISIONS
+            prec = _PRECISIONS[cfg.gram_precision]
+            a = jnp.einsum("rpf,rpg->rfg", g, g, precision=prec,
+                           preferred_element_type=jnp.float32)
+            b = jnp.einsum("rp,rpf->rf", vals, g.astype(jnp.float32),
+                           precision=prec,
+                           preferred_element_type=jnp.float32)
+            nnzf = nnz.astype(jnp.float32)
+            diag = nnzf * cfg.lam + (nnzf == 0)
+            a = a + diag[:, None, None] * jnp.eye(f, dtype=jnp.float32)
+            if cfg.gram_dtype == "bf16":
+                a = a.astype(jnp.bfloat16)
+            solved = solve(a, b, x0, solver=cfg.solver,
+                           cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                           backend=cfg.backend)
+            solved = solved * (nnz > 0)[:, None]
+            se = fused_sq_err(a, b, vals, nnz, cfg.lam, solved) \
+                if collect_rmse_terms else jnp.zeros((), jnp.float32)
+            return solved, se
+
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        part_ids_by_chunk = tuple(ch.parts for ch in chunks)
+        chunk_arrays = tuple((ch.rows, ch.nnz, ch.vals, ch.cols)
+                             for ch in chunks)
+        if cfg.fuse_phase and use_pallas and \
+                len(chunks) <= cfg.fuse_max_chunks:
+            key = ("phase_split", id(plan), collect_rmse_terms,
+                   cfg.backend)
+            fn = self._fn_cache.get(key)
+            if fn is None:
+                def phase(table, current, chunk_arrays):
+                    parts = make_parts(table)
+                    se_total = jnp.zeros((), jnp.float32)
+                    for pids, ch_arrays in zip(part_ids_by_chunk,
+                                               chunk_arrays):
+                        solved, se = chunk_solve(parts, current, pids,
+                                                 ch_arrays)
+                        current = current.at[ch_arrays[0]].set(
+                            solved, mode="drop")
+                        se_total = se_total + se
+                    return current, se_total
+                fn = jax.jit(phase, donate_argnums=(1,))
+                self._fn_cache[key] = fn
+            current, se_total = fn(table, current, chunk_arrays)
+            return current, (se_total if collect_rmse_terms else 0.0)
+
+        key = ("split_parts_fn", id(plan))
+        parts_fn = self._fn_cache.get(key)
+        if parts_fn is None:
+            parts_fn = jax.jit(make_parts)
+            self._fn_cache[key] = parts_fn
+        parts = parts_fn(table)
+        se_parts = []
+        for i, (pids, ch_arrays) in enumerate(zip(part_ids_by_chunk,
+                                                  chunk_arrays)):
+            k2 = ("split_chunk", id(plan), i, collect_rmse_terms)
+            fn = self._fn_cache.get(k2)
+            if fn is None:
+                fn = jax.jit(lambda parts, cur, ca, _p=pids:
+                             chunk_solve(parts, cur, _p, ca))
+                self._fn_cache[k2] = fn
+            solved, se = fn(parts, current, ch_arrays)
+            if collect_rmse_terms:
+                se_parts.append(se)
+            current = current.at[ch_arrays[0]].set(solved, mode="drop")
+        se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
+        return current, se_acc
 
     def _update_phase_direct(self, table: jnp.ndarray,
                              current: jnp.ndarray, plan_pair,

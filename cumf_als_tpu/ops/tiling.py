@@ -462,6 +462,183 @@ def build_panel_plan(csr: CSRMatrix, panel_size: int = 1 << 16,
 
 
 @dataclasses.dataclass
+class SplitChunk:
+    """A bucket chunk whose gather indices are split across fixed-size
+    table *parts* so every gather operand stays under the fast-tier
+    size (measured on v5e: row gathers run ~4.3 ns/row from a <= 64 MB
+    operand vs ~13.2 ns/row above 128 MB, independent of index
+    locality — scripts/bench_gather.py). The row's G block is the
+    concatenation of the per-part gathers along the contraction axis;
+    one fused Gram+CG kernel instance still sees the whole row, so no
+    partial-Gram accumulators (and none of the panel paths' HBM RMW)
+    exist on this path.
+
+    Contract:
+      - `parts[i]` is the part id of `cols[i]` (ascending);
+      - `cols[i]` is (R, widths[i]) int32 LOCAL to that part, padded
+        with part_size (each part's gather table carries one zero
+        extension row at index part_size);
+      - `vals` is (R, sum(widths)) f32, segment i aligned with cols[i]
+        in concatenation order, 0-padded;
+      - dummy tail rows have rows == num_rows and nnz == 0.
+    """
+    parts: tuple          # included part ids, ascending
+    widths: tuple         # per included part: padded width
+    rows: np.ndarray      # (R,) int32
+    nnz: np.ndarray       # (R,) int32 true total row lengths
+    cols: tuple           # per included part: (R, W_i) int32 part-local
+    vals: np.ndarray      # (R, sum(widths)) float32
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def width(self) -> int:
+        return int(sum(self.widths))
+
+    @property
+    def padded_nnz(self) -> int:
+        return self.num_rows * self.width
+
+
+@dataclasses.dataclass
+class SplitPlan:
+    """Direct (non-accumulating) phase layout over a popularity-
+    permuted, part-split gather table: the both-sides-big answer
+    (Yahoo-class) that keeps every gather at the fast on-chip-table
+    tier without the panel paths' per-row accumulator RMW. `perm` maps
+    permuted slot -> original table row; part k of the permuted table
+    is rows [k*part_size, (k+1)*part_size). The popularity ordering
+    concentrates the nonzero mass in part 0, which keeps the per-part
+    padding tails small."""
+    num_rows: int
+    num_cols: int          # gather-table rows (original space)
+    part_size: int
+    n_parts: int
+    perm: np.ndarray       # (num_cols,) int32
+    chunks: List[SplitChunk]
+    true_nnz: int
+    padded_nnz: int
+
+    @property
+    def expansion(self) -> float:
+        return self.padded_nnz / max(1, self.true_nnz)
+
+
+def build_split_plan(
+    csr: CSRMatrix,
+    part_size: int,
+    min_width: int = 8,
+    max_width: int = 1 << 18,
+    chunk_nnz: int = 1 << 22,
+    chunk_rows: int = 1 << 14,
+    octave_points: int = 8,
+    by_popularity: bool = True,
+) -> SplitPlan:
+    """Bucket rows by total nnz (the direct plan's width grid), order
+    rows within a bucket by their part-0 count so chunk-level per-part
+    maxima stay tight, and materialize per-chunk per-part padded column
+    blocks. Per-part widths are quantized to the same width grid (or 0)
+    to bound the compiled-shape count."""
+    m, n = csr.num_rows, csr.num_cols
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+    nnz_total = int(row_nnz.sum())
+    n_parts = max(1, -(-n // part_size))
+
+    # Popularity permutation of the gather table: most-rated columns
+    # first, so part 0 carries most of the mass.
+    if by_popularity and n_parts > 1:
+        pop = np.bincount(csr.indices, minlength=n)
+        perm = np.argsort(-pop, kind="stable").astype(np.int32)
+    else:
+        perm = np.arange(n, dtype=np.int32)
+    rank = np.empty(n, np.int32)
+    rank[perm] = np.arange(n, dtype=np.int32)
+
+    # Per-nonzero part/local ids and a stable (row, part) grouping.
+    new_flat = rank[csr.indices]
+    part_flat = (new_flat // part_size).astype(np.int32)
+    local_flat = (new_flat - part_flat.astype(np.int64) * part_size
+                  ).astype(np.int32)
+    row_ids = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    key = row_ids * n_parts + part_flat
+    order = np.argsort(key, kind="stable")
+    h = np.bincount(key, minlength=m * n_parts).reshape(m, n_parts)
+    grp_off = np.zeros(m * n_parts + 1, np.int64)
+    np.cumsum(h.reshape(-1), out=grp_off[1:])
+    del key, row_ids, new_flat
+
+    max_nnz = int(row_nnz.max()) if row_nnz.size else 0
+    widths = make_width_grid(min_width, max_nnz, max_width=max_width,
+                             octave_points=octave_points)
+    warr = np.asarray(widths, np.int64)
+
+    nonempty = np.nonzero(row_nnz > 0)[0]
+    bucket_of = np.searchsorted(widths, row_nnz[nonempty])
+    # within a bucket: descending part-0 count, so consecutive chunk
+    # rows have similar per-part splits (tight chunk maxima)
+    sort_key = bucket_of.astype(np.int64) * (nnz_total + 1) \
+        - h[nonempty, 0]
+    o = np.argsort(sort_key, kind="stable")
+    nonempty, bucket_of = nonempty[o], bucket_of[o]
+
+    local_sorted = local_flat[order]
+    vals_sorted = np.asarray(csr.data, np.float32)[order]
+
+    chunks: List[SplitChunk] = []
+    padded_total = 0
+    starts = np.searchsorted(bucket_of, np.arange(len(widths) + 1))
+    for b, width in enumerate(widths):
+        rows_b = nonempty[starts[b]:starts[b + 1]]
+        if rows_b.size == 0:
+            continue
+        rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
+        for lo in range(0, rows_b.size, rows_per_chunk):
+            rows_c = rows_b[lo:lo + rows_per_chunk]
+            r = rows_c.size
+            r_pad = rows_per_chunk if r == rows_per_chunk else \
+                _round_rows(r, rows_per_chunk)
+            hc = h[rows_c]                       # (r, n_parts)
+            wmax = hc.max(axis=0)
+            # quantize per-part widths to the grid (0 drops the part)
+            wq = np.where(wmax > 0,
+                          warr[np.minimum(np.searchsorted(warr, wmax),
+                                          len(warr) - 1)], 0)
+            inc = np.nonzero(wq)[0]
+            cols_parts, vals_parts = [], []
+            rows_out = np.full(r_pad, m, np.int32)
+            rows_out[:r] = rows_c
+            nnz_out = np.zeros(r_pad, np.int32)
+            nnz_out[:r] = row_nnz[rows_c]
+            for k in inc:
+                wk = int(wq[k])
+                ck = np.full((r_pad, wk), part_size, np.int32)
+                vk = np.zeros((r_pad, wk), np.float32)
+                offs = grp_off[rows_c * n_parts + k]
+                lens = hc[:, k]
+                arange_w = np.arange(wk, dtype=np.int64)[None, :]
+                idx = offs[:, None] + arange_w
+                mask = arange_w < lens[:, None]
+                idx = np.where(mask, idx, 0)
+                ck[:r] = np.where(mask, local_sorted[idx], part_size)
+                vk[:r] = np.where(mask, vals_sorted[idx], 0.0)
+                cols_parts.append(ck)
+                vals_parts.append(vk)
+            vals_cat = np.concatenate(vals_parts, axis=1) if vals_parts \
+                else np.zeros((r_pad, 0), np.float32)
+            chunk = SplitChunk(parts=tuple(int(k) for k in inc),
+                               widths=tuple(int(wq[k]) for k in inc),
+                               rows=rows_out, nnz=nnz_out,
+                               cols=tuple(cols_parts), vals=vals_cat)
+            chunks.append(chunk)
+            padded_total += chunk.padded_nnz
+    return SplitPlan(num_rows=m, num_cols=n, part_size=part_size,
+                     n_parts=n_parts, perm=perm, chunks=chunks,
+                     true_nnz=nnz_total, padded_nnz=padded_total)
+
+
+@dataclasses.dataclass
 class RowBatch:
     """One row batch of a BatchedPanelPlan: a panel sub-plan whose rows
     are batch-local (0..batch_rows-1)."""

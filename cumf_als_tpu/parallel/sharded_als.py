@@ -745,6 +745,14 @@ class ShardedALS:
         x = self.shard_x(x0)
         theta = self.replicate_theta(theta0)
         device_data = self.device_plan()  # plan resident for the run
+        # One fused SPMD program per iteration on accelerator meshes
+        # (VERDICT r3 #4: per-chunk dispatch cost ~25% at mesh=1, and
+        # the cross-dispatch accumulator donation never aliased); CPU
+        # meshes keep per-chunk dispatch + throttle (one big program at
+        # realistic shapes holds all gather buffers live — r3 abort).
+        use_fused = cfg.fused_step == "on" or (
+            cfg.fused_step == "auto" and not self._cpu_mesh)
+        step_fn = self.fused_iteration() if use_fused else None
         history: List[IterationMetrics] = []
         if cfg.verbose:
             print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
@@ -754,7 +762,13 @@ class ShardedALS:
             print("*******start iterations...")
         for it in range(start_iter, cfg.iters):
             t0 = seconds()
-            x, theta, se = self.iteration(x, theta, device_data)
+            if step_fn is not None:
+                x, theta, se_dev = call_with_vmem_backoff(
+                    step_fn, x, theta, *device_data,
+                    uses_pallas=backend_uses_pallas(cfg))
+                se = float(se_dev)
+            else:
+                x, theta, se = self.iteration(x, theta, device_data)
             theta.block_until_ready()
             dt = seconds() - t0
             train_rmse = float(np.sqrt(max(se, 0.0) / self.train_csr.nnz))

@@ -22,7 +22,7 @@ import numpy as np
 
 from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelChunk,
                                      PanelPlan, PlanChunk, RowBatch,
-                                     UpdatePlan)
+                                     SplitChunk, SplitPlan, UpdatePlan)
 from cumf_als_tpu.utils.io import CSRMatrix
 
 _VERSION = 3  # bump when the serialized layout or plan semantics change
@@ -307,6 +307,24 @@ def save_plan(cache_dir: str, key: str, plan) -> None:
             return
         meta = {"type": "aligned_steps", "n_panels": plan.n_panels}
         _write_entry(path, meta, _pack_dev_chunks(plan.steps))
+    elif isinstance(plan, SplitPlan):
+        meta = {"type": "split", "num_rows": plan.num_rows,
+                "num_cols": plan.num_cols, "part_size": plan.part_size,
+                "n_parts": plan.n_parts, "true_nnz": plan.true_nnz,
+                "padded_nnz": plan.padded_nnz,
+                "chunk_meta": [
+                    [int(c.rows.shape[0]), list(c.parts),
+                     list(c.widths)] for c in plan.chunks]}
+        cat = (lambda parts, dt: np.concatenate(parts).astype(
+            dt, copy=False) if parts else np.zeros(0, dt))
+        _write_entry(path, meta, {
+            "perm": plan.perm,
+            "rows": cat([c.rows for c in plan.chunks], np.int32),
+            "nnz": cat([c.nnz for c in plan.chunks], np.int32),
+            "cols": cat([b.reshape(-1) for c in plan.chunks
+                         for b in c.cols], np.int32),
+            "vals": cat([c.vals.reshape(-1) for c in plan.chunks],
+                        np.float32)})
     elif isinstance(plan, UpdatePlan):
         meta = {"type": "update", "num_rows": plan.num_rows,
                 "num_cols": plan.num_cols, "true_nnz": plan.true_nnz,
@@ -399,6 +417,32 @@ def load_plan(cache_dir: str, key: str, csr: Optional[CSRMatrix] = None):
             AlignedPanelChunk(panel, width, np.asarray(rows),
                               np.asarray(nnz), cols, vals))
         return AlignedSteps(steps=steps, n_panels=meta["n_panels"])
+    if meta["type"] == "split":
+        chunks, ro, co, vo = [], 0, 0, 0
+        for r, parts, widths in meta["chunk_meta"]:
+            r = int(r)
+            cols = []
+            for w in widths:
+                w = int(w)
+                cols.append(arrays["cols"][co:co + r * w].reshape(r, w))
+                co += r * w
+            wsum = int(sum(widths))
+            chunks.append(SplitChunk(
+                parts=tuple(int(p) for p in parts),
+                widths=tuple(int(w) for w in widths),
+                rows=np.asarray(arrays["rows"][ro:ro + r]),
+                nnz=np.asarray(arrays["nnz"][ro:ro + r]),
+                cols=tuple(cols),
+                vals=arrays["vals"][vo:vo + r * wsum].reshape(r, wsum)))
+            ro += r
+            vo += r * wsum
+        return SplitPlan(num_rows=meta["num_rows"],
+                         num_cols=meta["num_cols"],
+                         part_size=meta["part_size"],
+                         n_parts=meta["n_parts"],
+                         perm=np.asarray(arrays["perm"]),
+                         chunks=chunks, true_nnz=meta["true_nnz"],
+                         padded_nnz=meta["padded_nnz"])
     if meta["type"] == "update":
         return UpdatePlan(num_rows=meta["num_rows"],
                           num_cols=meta["num_cols"],

@@ -21,9 +21,14 @@ Usage: python scripts/bench_gather.py [--quick]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -47,11 +52,17 @@ def main() -> int:
     def take(table, idx):
         return jnp.take(table, idx, axis=0)
 
+    def sync(x):
+        # block_until_ready does not truly wait through the axon tunnel
+        # (docs/PERFORMANCE.md r3); a dependent scalar D2H read does.
+        return float(jnp.sum(x[:1, :1, :1].astype(jnp.float32)))
+
     def bench(table, idx, iters=4):
-        take(table, idx).block_until_ready()
+        sync(take(table, idx))
         t0 = time.monotonic()
-        outs = [take(table, idx) for _ in range(iters)]
-        outs[-1].block_until_ready()
+        for _ in range(iters):
+            out = take(table, idx)
+        sync(out)
         return (time.monotonic() - t0) / iters
 
     rng = np.random.default_rng(0)

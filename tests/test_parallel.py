@@ -131,6 +131,22 @@ class TestShardedEqualsSingle:
         assert float(np.sqrt(float(se) / train.nnz)) == pytest.approx(
             ref.history[0].train_rmse, abs=1e-4)
 
+    def test_fused_step_run_matches_per_chunk_run(self, medium_problem):
+        """run() with fused_step='on' (the accelerator default: one
+        jitted SPMD program per iteration) must reproduce the per-chunk
+        dispatch trajectory."""
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg")
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        off = ShardedALS(cfg.replace(fused_step="off"), train, None,
+                         test, block_rows=64).run(x0, th0)
+        on = ShardedALS(cfg.replace(fused_step="on"), train, None,
+                        test, block_rows=64).run(x0, th0)
+        for a, b in zip(off.history, on.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-5)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=1e-5)
+        np.testing.assert_allclose(on.x, off.x, rtol=1e-4, atol=1e-4)
+
     def test_sharded_runs_on_subset_of_devices(self, small_problem):
         train, test = small_problem
         cfg = _cfg(train, iters=1)
