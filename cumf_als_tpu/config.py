@@ -130,6 +130,18 @@ class ALSConfig:
     # "off" restores the r3 behavior.
     split_gather: str = "auto"     # auto | off | force
     gather_part_bytes: int = 64 << 20
+    # Auto-mode engagement threshold: split only pays off once the
+    # gather table is in the genuinely slow HBM tier. Measured on v5e
+    # (netflix/yahoo A/B, round4_logs): a 123 MB bf16 table ran FASTER
+    # direct (0.996 vs 1.03 s/iter — split's ~3% expansion + per-part
+    # slice overhead exceeded its gather gain), while 160 MB and 256 MB
+    # tables ran ~44% faster split (yahoo 8.04 -> 4.49 s/iter).
+    split_min_table_bytes: int = 128 << 20
+    # Two-block wide-F kernel (128 < F <= 256): measured SLOWER than
+    # the monolithic 256-lane kernel on v5e (three 128-wide MXU output
+    # tiles pipeline at ~11 TF/s vs ~21 for one 256-wide tile) — kept
+    # for A/B only; see ops/pallas_solve.wide_enabled.
+    wide_kernel: str = "off"       # off | on
     # Fuse a whole direct phase into one jitted program: chunk updates
     # are row-disjoint, so their solves are independent and XLA can
     # overlap gathers with kernels across chunks; write-back is one
@@ -221,6 +233,8 @@ class ALSConfig:
         if self.split_gather not in ("auto", "off", "force"):
             raise ValueError(
                 f"unknown split_gather {self.split_gather!r}")
+        if self.wide_kernel not in ("off", "on"):
+            raise ValueError(f"unknown wide_kernel {self.wide_kernel!r}")
 
     def split_part_rows(self) -> int:
         """Rows per gather-table part: the largest multiple of 8 whose

@@ -323,15 +323,20 @@ class ALS:
         """Whether the split-table direct path applies to this phase:
         the gather table must exceed one part (otherwise plain direct
         already gathers at the fast tier). "auto" additionally requires
-        the fused Gram+CG kernel (the XLA fallback would materialize
-        per-chunk (R, f, f) Gram buffers); "force" skips that gate for
-        CPU-backend tests and A/B runs."""
+        the table to be in the measured slow-gather tier
+        (split_min_table_bytes; a 123 MB bf16 table ran faster direct,
+        round4_logs) and the fused Gram+CG kernel (the XLA fallback
+        would materialize per-chunk (R, f, f) Gram buffers); "force"
+        skips those gates for CPU-backend tests and A/B runs."""
         cfg = self.cfg
         if cfg.split_gather == "off" or \
                 csr.num_cols <= cfg.split_part_rows():
             return False
         if cfg.split_gather == "force":
             return True
+        item = 2 if cfg.factor_dtype == "bf16" else 4
+        if csr.num_cols * cfg.f_pad * item <= cfg.split_min_table_bytes:
+            return False
         if cfg.backend == "pallas" and cfg.solver == "cg":
             from cumf_als_tpu.ops.pallas_solve import fused_available
             return fused_available()
@@ -720,12 +725,17 @@ class ALS:
         s, k_parts = plan.part_size, plan.n_parts
         perm = aux["perm"]
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
-        use_aug = False
+        use_aug = use_wide = False
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
-                                                       fused_available)
+                                                       fused_available,
+                                                       wide_enabled)
             use_pallas = fused_available()
-            use_aug = use_pallas and aug_enabled(cfg)
+            use_wide = use_pallas and wide_enabled(cfg)
+            use_aug = use_pallas and not use_wide and aug_enabled(cfg)
+        if use_wide:
+            from cumf_als_tpu.ops.pallas_solve import wide_f2
+            f2w = wide_f2(cfg.f)
 
         def make_parts(table):
             if cfg.factor_dtype == "bf16":
@@ -738,6 +748,12 @@ class ALS:
                     [jax.lax.slice_in_dim(tp, k * s, (k + 1) * s), zero],
                     axis=0)
                 for k in range(k_parts))
+            if use_wide:
+                # lane-split each part for the two-block wide kernel:
+                # the second slab is PACKED to f2w lanes, so the per-
+                # part gathers shed the dead f_pad lanes too
+                parts = tuple(
+                    (pt[:, :128], pt[:, 128:128 + f2w]) for pt in parts)
             # barrier: stop XLA from folding slice-then-gather back
             # into a gather on the big permuted table, which would
             # reintroduce the slow large-operand tier
@@ -745,11 +761,27 @@ class ALS:
 
         def chunk_solve(parts, current, part_ids, ch_arrays):
             rows, nnz, vals, cols_parts = ch_arrays
+            x0 = jnp.take(current, rows, axis=0, mode="fill",
+                          fill_value=0.0)
+            if use_wide:
+                from cumf_als_tpu.ops.pallas_solve import \
+                    fused_gram_cg_wide
+                g1 = jnp.concatenate(
+                    [jnp.take(parts[k][0], c, axis=0)
+                     for k, c in zip(part_ids, cols_parts)], axis=1)
+                g2 = jnp.concatenate(
+                    [jnp.take(parts[k][1], c, axis=0)
+                     for k, c in zip(part_ids, cols_parts)], axis=1)
+                x1, x2, se = fused_gram_cg_wide(
+                    g1, g2, vals, nnz, x0[:, :128], x0[:, 128:128 + f2w],
+                    cfg.lam, cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol)
+                solved = jnp.concatenate(
+                    [x1, x2, jnp.zeros((x1.shape[0], 128 - f2w),
+                                       jnp.float32)], axis=1)
+                return solved, jnp.sum(se)
             g = jnp.concatenate(
                 [jnp.take(parts[k], c, axis=0)
                  for k, c in zip(part_ids, cols_parts)], axis=1)
-            x0 = jnp.take(current, rows, axis=0, mode="fill",
-                          fill_value=0.0)
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import (
                     fused_gram_cg, fused_gram_cg_aug)
@@ -839,12 +871,17 @@ class ALS:
         cfg = self.cfg
         plan, chunks, _aux = plan_pair
         use_pallas = cfg.backend == "pallas" and cfg.solver == "cg"
-        use_aug = False
+        use_aug = use_wide = False
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
-                                                       fused_available)
+                                                       fused_available,
+                                                       wide_enabled)
             use_pallas = fused_available()
-            use_aug = use_pallas and aug_enabled(cfg)
+            # wide beats aug in its range: it also avoids the b/r2
+            # unpack AND sheds the dead f_pad lanes from every DMA/MXU
+            # pass (VERDICT r3 #2's padding cliff)
+            use_wide = use_pallas and wide_enabled(cfg)
+            use_aug = use_pallas and not use_wide and aug_enabled(cfg)
         if chunks and cfg.save_model and getattr(self, "_save_tag", None):
             ch = chunks[0]
             a_d, b_d = gram_rhs(extend_table(table), ch.cols, ch.vals,
@@ -856,6 +893,14 @@ class ALS:
             rows, nnz, cols, vals = ch_arrays
             x0 = jnp.take(current, rows, axis=0, mode="fill",
                           fill_value=0.0)
+            if use_wide:
+                from cumf_als_tpu.ops.pallas_solve import (
+                    gather_gram_cg_wide, wide_f2)
+                solved, se = gather_gram_cg_wide(
+                    table_ext, cols, vals, nnz, x0, cfg.lam,
+                    f2=wide_f2(cfg.f), cg_iters=cfg.cg_iters,
+                    cg_tol=cfg.cg_tol, factor_dtype=cfg.factor_dtype)
+                return solved, jnp.sum(se)
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
                 solved, se = gather_gram_cg(

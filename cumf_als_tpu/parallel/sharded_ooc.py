@@ -428,9 +428,9 @@ class ShardedOutOfCoreALS:
     def _x_scatter_fn(self, width: int, r: int):
         """shard_map'd streamed-chunk solve scattering straight into the
         HBM-resident X shard (donated in-place): (x_dev, theta, rows,
-        nnz, cols, vals) -> x_dev. Cold-started CG — no x0 upload, no
-        solved-rows D2H (cf. the reference's per-batch H2D/D2H of XT_h
-        slices, hugewiki.cu:2560-2572)."""
+        nnz, cols, vals) -> x_dev. CG warm-starts from the shard itself
+        — no x0 upload, no solved-rows D2H (cf. the reference's
+        per-batch H2D/D2H of XT_h slices, hugewiki.cu:2560-2572)."""
         key = ("xdev", width, r)
         if key in self._fn_cache:
             return self._fn_cache[key]
@@ -440,7 +440,15 @@ class ShardedOutOfCoreALS:
             rows = rows[0].astype(jnp.int32)
             cols = cols[0].astype(jnp.int32)   # uint16 stream transport
             vals = vals[0].astype(jnp.float32)
-            x0 = jnp.zeros((rows.shape[0], theta.shape[1]), jnp.float32)
+            # Warm start from the HBM-resident shard itself (each row is
+            # solved once per phase, so the gather sees last iteration's
+            # value). r3 cold-started here and train RMSE drifted UP
+            # after iter 3 under cg_iters=20 (VERDICT r3 #5) — the warm
+            # start restores the plain-ALS trajectory at no transfer
+            # cost; sentinel rows (id >= m_loc_pad) read as zero and
+            # their solves are dropped by the scatter anyway.
+            x0 = jnp.take(x_dev[0], rows, axis=0, mode="fill",
+                          fill_value=0).astype(jnp.float32)
             solved = solve_rows(theta, x0, nnz[0], cols, vals)
             # dummy rows (sentinel id m_loc) write zeros into the panel
             # padding region, which must stay zero anyway; ids past

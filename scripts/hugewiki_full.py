@@ -39,11 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--f", type=int, default=100)
     p.add_argument("--cg-iters", type=int, default=20,
-                   help="CG budget; the device-resident-X path COLD-"
-                        "starts its solves, so the budget covers the "
-                        "missing warm start (the reference's hugewiki "
-                        "uses cgIter=100, hugewiki.cu:2569; 20 matches "
-                        "the exact-solver trajectory to <1e-3)")
+                   help="CG budget (reference hugewiki uses cgIter=100 "
+                        "with cold starts, hugewiki.cu:2569; here every "
+                        "X placement warm-starts — device-X from the "
+                        "HBM-resident shard, r4 — and the in-kernel "
+                        "early exit makes unused budget nearly free)")
     p.add_argument("--x-placement", default="device",
                    choices=["device", "host"],
                    help="device: X shards HBM-resident (12.8 GB bf16 at "

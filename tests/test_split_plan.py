@@ -190,7 +190,8 @@ class TestSplitRouting:
         base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
                     use_panels="auto", panel_size=64,
                     panel_budget_bytes=1, backend="pallas", solver="cg",
-                    gather_part_bytes=40 * 128 * 4)
+                    gather_part_bytes=40 * 128 * 4,
+                    split_min_table_bytes=0)
         model = ALS.__new__(ALS)
         monkeypatch.setattr(ps, "fused_available", lambda: True)
         model.cfg = ALSConfig(**base)
@@ -199,6 +200,11 @@ class TestSplitRouting:
         assert model._phase_strategy(train) == "direct"
         model.cfg = ALSConfig(
             **{**base, "gather_part_bytes": 1 << 30})
+        assert model._phase_strategy(train) == "direct"
+        # auto requires the slow-tier table threshold (r4: a 123 MB
+        # table measured faster direct than split)
+        model.cfg = ALSConfig(
+            **{**base, "split_min_table_bytes": 1 << 30})
         assert model._phase_strategy(train) == "direct"
         monkeypatch.setattr(ps, "fused_available", lambda: False)
         model.cfg = ALSConfig(**base)
