@@ -20,12 +20,19 @@ per chip).
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# SIGUSR1 dumps all thread stacks to stderr — the axon tunnel can hang
+# a remote compile indefinitely and the bench must be diagnosable
+# without a debugger on this box.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 BASELINE_SEC_PER_ITER = 1.0  # cuMF on P100, Netflix F=100 (see docstring)
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -107,7 +114,13 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="netflix",
                    choices=["netflix", "ml10m", "yahoo", "hugewiki_mini",
-                            "hugewiki"])
+                            "hugewiki", "netflix_cal"])
+    p.add_argument("--accuracy-check", action="store_true",
+                   help="assert the accuracy contract: on the "
+                        "calibrated netflix_cal workload the converged "
+                        "test RMSE must land in the published regime "
+                        "(reference print-test-result.sh:10, ~0.92 at "
+                        "iter 9) with a monotone trajectory")
     p.add_argument("--out-of-core", action="store_true",
                    help="host-resident X (the hugewiki XT_h path)")
     p.add_argument("--scale", type=float, default=1.0)
@@ -142,6 +155,20 @@ def main() -> int:
                         "f < f_pad)")
     p.add_argument("--octave-points", type=int, default=8,
                    choices=[4, 8])
+    p.add_argument("--split-gather", default="auto",
+                   choices=["auto", "off", "force"],
+                   help="split-table direct gathers for both-sides-big "
+                        "phases (popularity-permuted <=64MB table parts; "
+                        "every gather at the fast small-operand tier)")
+    p.add_argument("--fused-step", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="ShardedALS: one jitted SPMD program per "
+                        "phase vs per-chunk dispatch")
+    p.add_argument("--wide-kernel", default="off",
+                   choices=["off", "on"],
+                   help="two-block wide-F kernel for 128<F<=256 — "
+                        "measured slower than the monolithic kernel "
+                        "on v5e; A/B only")
     p.add_argument("--mesh", type=int, default=0,
                    help="run the sharded (SPMD) path over N devices")
     p.add_argument("--platform", default=None,
@@ -180,6 +207,9 @@ def main() -> int:
                     aug_gram=args.aug_gram,
                     chunk_nnz=args.chunk_nnz,
                     octave_points=args.octave_points,
+                    split_gather=args.split_gather,
+                    fused_step=args.fused_step,
+                    wide_kernel=args.wide_kernel,
                     backend=args.backend, use_panels=args.use_panels,
                     fuse_phase=not args.no_fuse_phase,
                     plan_cache_dir=(None if args.no_plan_cache else
@@ -260,6 +290,31 @@ def main() -> int:
         out["repeats"] = args.repeat
         out["spread_min"] = round(spread[0], 4)
         out["spread_max"] = round(spread[1], 4)
+    if args.accuracy_check:
+        # The accuracy contract (VERDICT r3 #6): netflix_cal's planted
+        # model is calibrated (scripts/calibrate_accuracy.py) so the
+        # converged test RMSE matches the published real-Netflix regime
+        # — reference print-test-result.sh:10 greps "Test RMSE in iter
+        # 9" expecting ~0.92 at F=100, lambda=0.048. Checked: final
+        # test RMSE in the band, near-monotone trajectory (each iter
+        # within 1e-3 of the running best), and a converging shape
+        # (final/iter-1 ratio below 0.97 — the trajectory actually
+        # moved).
+        band = (0.89, 0.95)
+        tr = [h.test_rmse for h in res.history]
+        best = np.minimum.accumulate(tr)
+        monotone = bool(np.all(np.asarray(tr) <= best + 1e-3))
+        converged = tr[-1] / tr[1] < 0.97 if len(tr) > 1 else False
+        ok = band[0] <= tr[-1] <= band[1] and monotone and converged
+        out["accuracy_check"] = "pass" if ok else "fail"
+        out["accuracy_contract"] = {
+            "band": list(band), "final": round(tr[-1], 4),
+            "monotone": monotone, "converged": converged,
+            "workload": args.workload}
+        if args.workload != "netflix_cal":
+            out["accuracy_check"] = "fail"
+            out["accuracy_contract"]["error"] = \
+                "accuracy contract is calibrated for netflix_cal"
     print(json.dumps(out), flush=True)
     return 0
 

@@ -34,6 +34,7 @@ def synthetic_ratings(
     skew: Union[float, Tuple[float, float]] = 1.0,
     rating_range: Tuple[float, float] = (1.0, 5.0),
     seed: int = 0,
+    signal_scale: float = 1.0,
 ) -> Tuple[CSRMatrix, COOMatrix]:
     """Sample (train CSR, test COO) from a planted rank-`rank` model.
 
@@ -47,7 +48,12 @@ def synthetic_ratings(
     """
     rng = np.random.RandomState(seed)
     row_skew, col_skew = (skew if isinstance(skew, tuple) else (skew, skew))
-    u = rng.standard_normal((m, rank)).astype(np.float32) / np.sqrt(rank)
+    # In rating units the planted signal has std ~ half*signal_scale/2
+    # and the noise std ~ half*noise/2 (see the affine map below):
+    # signal_scale/noise set the explainable fraction, i.e. the RMSE
+    # floor an unbiased model converges to.
+    u = (signal_scale * rng.standard_normal((m, rank)).astype(np.float32)
+         / np.sqrt(rank))
     v = rng.standard_normal((n, rank)).astype(np.float32)
 
     lo, hi = rating_range
@@ -167,15 +173,33 @@ WORKLOAD_SHAPES = {
     "hugewiki": dict(m=50_082_603, n=39_780, nnz=3_101_144_313,
                      nnz_test=344_573_330, skew=(0.35, 0.45),
                      rating_range=(1.0, 5.0)),
+    # Netflix shape with the planted model CALIBRATED to the published
+    # accuracy regime (reference print-test-result.sh:10: test RMSE
+    # ~0.92 at iteration 9 with F=100, lambda=0.048): signal/noise are
+    # tuned so the converged test RMSE of this zero-egress stand-in is
+    # falsifiably close to the real-data north star. Used by
+    # `bench.py --accuracy-check`; see scripts/calibrate_accuracy.py
+    # for the measured calibration sweep.
+    "netflix_cal": dict(m=17770, n=480_189, nnz=99_072_112,
+                        nnz_test=1_408_395, skew=(0.5, 0.35),
+                        rating_range=(1.0, 5.0), rank=10,
+                        noise=0.86, signal_scale=0.6),
 }
 
 
 def workload_ratings(name: str, scale: float = 1.0, seed: int = 0,
-                     rank: int = 10, noise: float = 0.35):
+                     rank: int = 10, noise: float = 0.35, **overrides):
     """Synthetic dataset shaped like a named reference workload,
-    optionally scaled down (scale < 1) for smoke runs."""
+    optionally scaled down (scale < 1) for smoke runs. Entries may pin
+    their own planted-model parameters (rank/noise/signal_scale), which
+    take precedence over the defaults; `overrides` wins over both."""
     shp = dict(WORKLOAD_SHAPES[name])
     if scale != 1.0:
         for k in ("m", "n", "nnz", "nnz_test"):
             shp[k] = max(8, int(shp[k] * scale))
-    return synthetic_ratings(rank=rank, noise=noise, seed=seed, **shp)
+    params = dict(rank=rank, noise=noise)
+    for k in ("rank", "noise", "signal_scale"):
+        if k in shp:
+            params[k] = shp.pop(k)
+    params.update(overrides)
+    return synthetic_ratings(seed=seed, **params, **shp)

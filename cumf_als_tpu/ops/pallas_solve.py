@@ -673,6 +673,407 @@ def gather_gram_cg(table_ext, cols, vals, nnz, x0, lam, cg_iters=6,
                          cg_tol=cg_tol)
 
 
+# ---------------------------------------------------------------------
+# Wide-F tier (128 < F <= 256): two-block Gram + blocked CG.
+#
+# The MXU's lane granule is 128, so a monolithic kernel pads F=130 to
+# 256 lanes and pays exactly what F=256 pays — the measured 4.4x cliff
+# (VERDICT r3 #2; the reference's get_hermitianT10 scales ~F^2 at
+# 10-granularity instead, reference als.cu:575-659). Splitting the
+# factor lanes as f = 128 + f2 (f2 the true remainder, padded to 32)
+# recovers most of the slack:
+#   - Gram: A11 (128x128) + A12 (128xf2) + A22 (f2xf2) = 3 MXU pass
+#     units instead of 4 (A21 comes free by symmetry);
+#   - HBM: G streams at (128+f2) lanes instead of 256 — the gathered-G
+#     DMA is the kernel's dominant traffic;
+#   - VMEM: the A-shaped f32 buffers shrink (256+f2)/512-fold, so row
+#     blocks grow and per-grid-step overhead drops.
+# The blocked CG solves the full (128+f2)-dim system exactly: matvec is
+# [A11 p1 + A12 p2, A12^T p1 + A22 p2].
+# ---------------------------------------------------------------------
+
+
+def _per_row_bytes_wide(pb: int, f2: int, g_itemsize: int) -> int:
+    """Empirical per-row VMEM footprint of the wide kernel, derived
+    from the calibrated _per_row_bytes model: the G staging/broadcast
+    copies scale with PHYSICAL lanes (f2 pads to 128 in VMEM, so 256
+    total), while the ~4 A-shaped f32 buffers scale with the block
+    elements (128*128 + 128*f2pad + f2*f2pad vs 256*256)."""
+    fphys = 256
+    f2pad = -(-f2 // 128) * 128
+    a_elems = 128 * 128 + 128 * f2pad + f2 * f2pad
+    return (29 * pb * fphys) // 5 + (4 * pb * fphys * g_itemsize) // 5 \
+        + 16 * a_elems + 32 * fphys
+
+
+def _row_block_wide(width: int, f2: int, g_itemsize: int = 4) -> int:
+    pb = _p_block(width, 256, g_itemsize)
+    rb = max(8, _VMEM_BUDGET // _per_row_bytes_wide(pb, f2, g_itemsize))
+    rb = min(256, 1 << (rb.bit_length() - 1))
+    return max(8, rb)
+
+
+def _cg_loop_wide(a11, a12, a22, b1, b2, x1, x2, cg_iters: int,
+                  cg_tol: float, matvec_impl: str = "vpu"):
+    """_cg_loop on the two-block system [[A11, A12], [A12^T, A22]]:
+    identical semantics (warm start, fixed iters, per-system early exit
+    after x takes alpha, block-level early exit), carries split in
+    (f1, f2) halves."""
+
+    if matvec_impl == "mxu":
+        def matvec(p1, p2):
+            dg = functools.partial(jax.lax.dot_general,
+                                   preferred_element_type=jnp.float32)
+            y1 = dg(a11, p1, dimension_numbers=(((2,), (1,)),
+                                                ((0,), (0,)))) + \
+                dg(a12, p2, dimension_numbers=(((2,), (1,)),
+                                               ((0,), (0,))))
+            y2 = dg(a12, p1, dimension_numbers=(((1,), (1,)),
+                                                ((0,), (0,)))) + \
+                dg(a22, p2, dimension_numbers=(((2,), (1,)),
+                                               ((0,), (0,))))
+            return y1, y2
+    else:
+        def matvec(p1, p2):
+            y1 = jnp.sum(a11 * p1[:, None, :], axis=-1) + \
+                jnp.sum(a12 * p2[:, None, :], axis=-1)
+            y2 = jnp.sum(a12 * p1[:, :, None], axis=1) + \
+                jnp.sum(a22 * p2[:, None, :], axis=-1)
+            return y1, y2
+
+    ax1, ax2 = matvec(x1, x2)
+    r1, r2v = b1 - ax1, b2 - ax2
+    p1, p2 = r1, r2v
+    rsold = (jnp.sum(r1 * r1, axis=-1, keepdims=True) +
+             jnp.sum(r2v * r2v, axis=-1, keepdims=True))
+    active = jnp.ones_like(rsold)
+
+    def body(carry):
+        it, x1, x2, r1, r2v, p1, p2, rsold, active = carry
+        ap1, ap2 = matvec(p1, p2)
+        pap = (jnp.sum(p1 * ap1, axis=-1, keepdims=True) +
+               jnp.sum(p2 * ap2, axis=-1, keepdims=True))
+        nonzero = (jnp.abs(pap) > 0).astype(jnp.float32)
+        safe = pap + (1.0 - nonzero)
+        alpha = active * nonzero * rsold / safe
+        x1 = x1 + alpha * p1
+        x2 = x2 + alpha * p2
+        r1 = r1 - alpha * ap1
+        r2v = r2v - alpha * ap2
+        rsnew = (jnp.sum(r1 * r1, axis=-1, keepdims=True) +
+                 jnp.sum(r2v * r2v, axis=-1, keepdims=True))
+        still = active * (rsnew >= cg_tol).astype(jnp.float32)
+        safe_old = rsold + (rsold <= 0).astype(jnp.float32)
+        beta = still * rsnew / safe_old
+        p1 = still * (r1 + beta * p1) + (1.0 - still) * p1
+        p2 = still * (r2v + beta * p2) + (1.0 - still) * p2
+        rsold = still * rsnew + (1.0 - still) * rsold
+        return it + 1, x1, x2, r1, r2v, p1, p2, rsold, still
+
+    def cond(carry):
+        it = carry[0]
+        active = carry[-1]
+        return jnp.logical_and(it < cg_iters, jnp.max(active) > 0)
+
+    _, x1, x2, *_ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), x1, x2, r1, r2v, p1, p2, rsold, active))
+    return x1, x2
+
+
+def _kernel_wide(g1_ref, g2_ref, vals_ref, nnz_ref, x01_ref, x02_ref,
+                 out1_ref, out2_ref, se_ref,
+                 a11_scr, a12_scr, a22_scr, b1_scr, b2_scr, r2_scr, *,
+                 lam: float, cg_iters: int, cg_tol: float, n_p: int,
+                 matvec_impl: str = "vpu"):
+    pb = pl.program_id(1)
+    f1 = out1_ref.shape[-1]
+    f2 = out2_ref.shape[-1]
+
+    @pl.when(pb == 0)
+    def _():
+        a11_scr[...] = jnp.zeros_like(a11_scr)
+        a12_scr[...] = jnp.zeros_like(a12_scr)
+        a22_scr[...] = jnp.zeros_like(a22_scr)
+        b1_scr[...] = jnp.zeros_like(b1_scr)
+        b2_scr[...] = jnp.zeros_like(b2_scr)
+        r2_scr[...] = jnp.zeros_like(r2_scr)
+
+    g1 = g1_ref[...].astype(jnp.float32)            # (R_b, P_b, f1)
+    g2 = g2_ref[...].astype(jnp.float32)            # (R_b, P_b, f2)
+    dn = (((1,), (1,)), ((0,), (0,)))
+    a11_scr[...] += jax.lax.dot_general(
+        g1, g1, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    a12_scr[...] += jax.lax.dot_general(
+        g1, g2, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    a22_scr[...] += jax.lax.dot_general(
+        g2, g2, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    vblk = vals_ref[...]
+    b1_scr[...] += jnp.sum(vblk[:, :, None] * g1, axis=1)
+    b2_scr[...] += jnp.sum(vblk[:, :, None] * g2, axis=1)
+    r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
+
+    @pl.when(pb == n_p - 1)
+    def _():
+        nnz = nnz_ref[...][:, 0]
+        diag = nnz * lam + (nnz == 0).astype(jnp.float32)
+
+        def eye(k):
+            return (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) ==
+                    jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+                    ).astype(jnp.float32)
+
+        a11 = a11_scr[...] + diag[:, None, None] * eye(f1)[None]
+        a22 = a22_scr[...] + diag[:, None, None] * eye(f2)[None]
+        a12 = a12_scr[...]
+        b1, b2 = b1_scr[...], b2_scr[...]
+        x1, x2 = _cg_loop_wide(a11, a12, a22, b1, b2,
+                               x01_ref[...].astype(jnp.float32),
+                               x02_ref[...].astype(jnp.float32),
+                               cg_iters, cg_tol,
+                               matvec_impl=matvec_impl)
+        live = (nnz > 0).astype(jnp.float32)[:, None]
+        x1 = x1 * live
+        x2 = x2 * live
+        out1_ref[...] = x1
+        out2_ref[...] = x2
+        # free train-RMSE identity on the blocked system (ops/rmse.py):
+        # se = sum r^2 - 2 x.b + x^T (A - diag I) x
+        cross = (jnp.sum(x1 * b1, axis=-1, keepdims=True) +
+                 jnp.sum(x2 * b2, axis=-1, keepdims=True))
+        aq1 = (jnp.sum(a11 * x1[:, None, :], axis=-1) +
+               jnp.sum(a12 * x2[:, None, :], axis=-1))
+        aq2 = (jnp.sum(a12 * x1[:, :, None], axis=1) +
+               jnp.sum(a22 * x2[:, None, :], axis=-1))
+        quad = (jnp.sum(x1 * aq1, axis=-1, keepdims=True) +
+                jnp.sum(x2 * aq2, axis=-1, keepdims=True) -
+                diag[:, None] * (
+                    jnp.sum(x1 * x1, axis=-1, keepdims=True) +
+                    jnp.sum(x2 * x2, axis=-1, keepdims=True)))
+        se_ref[...] = jnp.maximum(r2_scr[...] - 2.0 * cross + quad, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lam", "cg_iters", "cg_tol",
+                                    "matvec_impl"))
+def fused_gram_cg_wide(g1: jnp.ndarray, g2: jnp.ndarray,
+                       vals: jnp.ndarray, nnz: jnp.ndarray,
+                       x01: jnp.ndarray, x02: jnp.ndarray, lam: float,
+                       cg_iters: int = 6, cg_tol: float = 1e-4,
+                       matvec_impl: str = "vpu"):
+    """Two-block fused Gram+CG: g1 (R, P, 128) and g2 (R, P, f2) are
+    the lane halves of the gathered factor block (f2 <= 128, multiple
+    of 32; dead lanes zero). Returns (x1 (R, 128), x2 (R, f2),
+    se (R, 1))."""
+    g1, vals = _maybe_pad_p(g1, vals, 256)
+    if g2.shape[1] != g1.shape[1]:
+        g2 = jnp.pad(g2, ((0, 0), (0, g1.shape[1] - g2.shape[1]),
+                          (0, 0)))
+    r, p, f1 = g1.shape
+    f2 = g2.shape[2]
+    gi = jnp.dtype(g1.dtype).itemsize
+    pb = _p_block(p, 256, gi)
+    rb = _row_block_wide(p, f2, gi)
+    while r % rb:
+        rb //= 2
+    n_p = p // pb
+    grid = (r // rb, n_p)
+    nnz_f = nnz.astype(jnp.float32).reshape(r, 1)
+    kernel = functools.partial(_kernel_wide, lam=float(lam),
+                               cg_iters=int(cg_iters),
+                               cg_tol=float(cg_tol), n_p=n_p,
+                               matvec_impl=matvec_impl)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, pb, f1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb, f2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, f1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, f1), jnp.float32),
+            jax.ShapeDtypeStruct((r, f2), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, f1, f1), jnp.float32),
+            pltpu.VMEM((rb, f1, f2), jnp.float32),
+            pltpu.VMEM((rb, f2, f2), jnp.float32),
+            pltpu.VMEM((rb, f1), jnp.float32),
+            pltpu.VMEM((rb, f2), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+        ],
+    )(g1, g2, vals, nnz_f, x01, x02)
+
+
+def wide_f2(f: int) -> int:
+    """Packed lane width of the second factor block for true width f
+    (128 < f <= 256): the remainder padded to a multiple of 32."""
+    return min(128, -(-(f - 128) // 32) * 32)
+
+
+def _kernel_cat(g1_ref, g2_ref, vals_ref, nnz_ref, x0_ref, out_ref,
+                se_ref, a_scr, b_scr, r2_scr, *,
+                lam: float, cg_iters: int, cg_tol: float, n_p: int,
+                matvec_impl: str = "vpu"):
+    """Packed-gather variant of _kernel: G arrives as two lane slabs —
+    g1 (rb, pb, 128) and the PACKED remainder g2 (rb, pb, f2) — and is
+    concat-padded to the monolithic (rb, pb, 256) INSIDE VMEM. The
+    Gram/CG body is _kernel's (one big MXU dot at full pipeline
+    efficiency — the measured 21 vs 11 TF/s of 256- vs 128-wide output
+    tiles is why the two-block _kernel_wide lost); what the packing
+    buys is upstream: the XLA row gathers move (128+f2) lanes instead
+    of 256 (measured 7.75 -> ~4.8 ns/row on the 256-lane tier)."""
+    pb = pl.program_id(1)
+    f = out_ref.shape[-1]
+    f2 = g2_ref.shape[-1]
+
+    @pl.when(pb == 0)
+    def _():
+        a_scr[...] = jnp.zeros_like(a_scr)
+        b_scr[...] = jnp.zeros_like(b_scr)
+        r2_scr[...] = jnp.zeros_like(r2_scr)
+
+    rb_, pb_, _ = g1_ref.shape
+    g = jnp.concatenate(
+        [g1_ref[...], g2_ref[...],
+         jnp.zeros((rb_, pb_, f - 128 - f2), g1_ref.dtype)],
+        axis=2).astype(jnp.float32)
+    a_scr[...] += jax.lax.dot_general(
+        g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    vblk = vals_ref[...]
+    b_scr[...] += jnp.sum(vblk[:, :, None] * g, axis=1)
+    r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
+
+    @pl.when(pb == n_p - 1)
+    def _():
+        nnz = nnz_ref[...][:, 0]
+        diag = nnz * lam + (nnz == 0).astype(jnp.float32)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (f, f), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+               ).astype(jnp.float32)
+        a = a_scr[...] + diag[:, None, None] * eye[None]
+        b = b_scr[...]
+        x = _cg_loop(a, b, x0_ref[...].astype(jnp.float32),
+                     cg_iters, cg_tol, matvec_impl=matvec_impl)
+        live = (nnz > 0).astype(jnp.float32)[:, None]
+        x = x * live
+        out_ref[...] = x
+        cross = jnp.sum(x * b, axis=-1, keepdims=True)
+        aq = jnp.sum(a * x[:, :, None], axis=-2)
+        quad = (jnp.sum(x * aq, axis=-1, keepdims=True) -
+                diag[:, None] * jnp.sum(x * x, axis=-1, keepdims=True))
+        se_ref[...] = jnp.maximum(r2_scr[...] - 2.0 * cross + quad, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lam", "cg_iters", "cg_tol",
+                                    "matvec_impl"))
+def fused_gram_cg_cat(g1: jnp.ndarray, g2: jnp.ndarray,
+                      vals: jnp.ndarray, nnz: jnp.ndarray,
+                      x0: jnp.ndarray, lam: float,
+                      cg_iters: int = 6, cg_tol: float = 1e-4,
+                      matvec_impl: str = "vpu"):
+    """Fused Gram+CG over a lane-packed G: g1 (R, P, 128) + g2
+    (R, P, f2 <= 128, multiple of 32), solving the full f_pad=256
+    system (x0 (R, 256)). Returns (x (R, 256), se (R, 1))."""
+    f = 256
+    g1, vals = _maybe_pad_p(g1, vals, f)
+    if g2.shape[1] != g1.shape[1]:
+        g2 = jnp.pad(g2, ((0, 0), (0, g1.shape[1] - g2.shape[1]),
+                          (0, 0)))
+    r, p, _ = g1.shape
+    f2 = g2.shape[2]
+    gi = jnp.dtype(g1.dtype).itemsize
+    pb = _p_block(p, f, gi)
+    rb = _row_block(p, f, gi)
+    while r % rb:
+        rb //= 2
+    n_p = p // pb
+    grid = (r // rb, n_p)
+    nnz_f = nnz.astype(jnp.float32).reshape(r, 1)
+    kernel = functools.partial(_kernel_cat, lam=float(lam),
+                               cg_iters=int(cg_iters),
+                               cg_tol=float(cg_tol), n_p=n_p,
+                               matvec_impl=matvec_impl)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, pb, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb, f2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, f), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, f), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, f), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, f, f), jnp.float32),
+            pltpu.VMEM((rb, f), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+        ],
+    )(g1, g2, vals, nnz_f, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "cg_iters", "cg_tol",
+                                             "f2", "factor_dtype"))
+def gather_gram_cg_wide(table_ext, cols, vals, nnz, x0, lam, f2,
+                        cg_iters=6, cg_tol=1e-4, factor_dtype="f32"):
+    """Wide-F twin of gather_gram_cg: the (n+1, 256) zero-extended
+    table is lane-split ONCE into a (n+1, 128) and a PACKED (n+1, f2)
+    table, each gathered separately — the G stream and the kernel then
+    cost (128+f2) lanes instead of 256. Returns (x (R, 256), se)."""
+    if factor_dtype == "bf16":
+        table_ext = table_ext.astype(jnp.bfloat16)
+    t1 = table_ext[:, :128]
+    t2 = table_ext[:, 128:128 + f2]
+    g1 = jnp.take(t1, cols, axis=0)
+    g2 = jnp.take(t2, cols, axis=0)
+    x1, x2, se = fused_gram_cg_wide(
+        g1, g2, vals, nnz, x0[:, :128], x0[:, 128:128 + f2], lam,
+        cg_iters=cg_iters, cg_tol=cg_tol)
+    x = jnp.concatenate(
+        [x1, x2, jnp.zeros((x1.shape[0], 128 - f2), jnp.float32)],
+        axis=1)
+    return x, se
+
+
 def _cg_solve_kernel(a_ref, b_ref, x0_ref, out_ref, *, cg_iters: int,
                      cg_tol: float, matvec_impl: str = "vpu"):
     a = a_ref[...].astype(jnp.float32)
@@ -806,6 +1207,54 @@ _STATUS: Optional[bool] = None
 _AUG_STATUS: Optional[bool] = None
 _CG_STATUS: Optional[bool] = None
 _PANEL_AUG_STATUS: Optional[bool] = None
+_WIDE_STATUS: Optional[bool] = None
+
+
+def wide_available() -> bool:
+    """Probe-compile the two-block wide-F kernel once (at the packed
+    f2=32 shape the F-sweep's F=130..150 points use — the shape most
+    likely to trip Mosaic's sub-128 minor-dim handling)."""
+    global _WIDE_STATUS
+    if _WIDE_STATUS is None:
+        try:
+            g1 = jnp.ones((8, 16, 128), jnp.float32)
+            g2 = jnp.ones((8, 16, 32), jnp.float32).at[:, :, 2:].set(0.0)
+            v = jnp.full((8, 16), 2.0, jnp.float32)
+            n = jnp.full((8,), 16, jnp.int32)
+            x01 = jnp.zeros((8, 128), jnp.float32)
+            x02 = jnp.zeros((8, 32), jnp.float32)
+            x1, x2, _se = fused_gram_cg_wide(g1, g2, v, n, x01, x02, 0.1)
+            a1, a2 = np.asarray(x1), np.asarray(x2)
+            _WIDE_STATUS = bool(np.isfinite(a1).all()
+                                and np.isfinite(a2).all()
+                                and np.abs(a2[:, 2:]).max() == 0.0)
+        except Exception:
+            _WIDE_STATUS = False
+    return _WIDE_STATUS
+
+
+def wide_enabled(cfg) -> bool:
+    """Whether direct fused dispatches should use the two-block wide-F
+    kernel: EXPLICIT opt-in only (cfg.wide_kernel == "on"), 128 < f
+    (so f_pad is 256), CG solver, and the kernel compiling here.
+
+    Measured on v5e (r4, scripts/bench_wide_f.py + inline A/B at
+    R=8192, P=256, bf16): the two-block kernel runs 9.3-9.9 ns/nnz vs
+    the monolithic 256-lane kernel's 6.3 — three 128-wide MXU output
+    tiles pipeline at ~11 TF/s where one 256-wide tile reaches ~21, so
+    the 25% flop saving loses 1.5x in efficiency. The packed-gather
+    concat variant (fused_gram_cg_cat) costs +1.0-1.4 ns/nnz for the
+    in-VMEM lane concat, cancelling its ~1.8 ns/row gather saving.
+    Both are kept for A/B (bench --wide-kernel) and as the recorded
+    negative result; the production F>128 answer is the monolithic
+    kernel + split-table gathers (docs/PERFORMANCE.md)."""
+    if getattr(cfg, "wide_kernel", "off") != "on":
+        return False
+    if not (128 < cfg.f <= 256) or cfg.f_pad != 256:
+        return False
+    if cfg.solver != "cg" or cfg.backend != "pallas":
+        return False
+    return wide_available()
 
 
 def panel_aug_available() -> bool:
