@@ -35,17 +35,17 @@ def main() -> int:
     p.add_argument("--out", default="")
     args = p.parse_args()
 
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count="
-          f"{args.devices_per_process}")
+    # The environment may pre-register an accelerator backend via
+    # sitecustomize and pin JAX_PLATFORMS; the config API wins as long
+    # as no backend is initialized (same pattern as tests/conftest.py).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices_per_process)
 
     from cumf_als_tpu.parallel.mesh import init_distributed
     init_distributed(coordinator=args.coordinator,
                      num_processes=args.num_processes,
                      process_id=args.process_id)
-    import jax
     n_global = len(jax.devices())
     assert n_global == args.num_processes * args.devices_per_process, \
         (n_global, jax.process_count())
