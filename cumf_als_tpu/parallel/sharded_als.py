@@ -643,15 +643,15 @@ class ShardedALS:
 
     def fused_phases(self):
         """The X and theta phases as TWO jitted SPMD programs (the
-        run() form of fused dispatch, r4). One whole-iteration program
+        fused_step="on" A/B form). One whole-iteration program
         (fused_iteration) holds the X panel accumulators AND every
         theta block's gather buffers in one memory plan — measured 16.0
-        GB peak on Netflix mesh=1, over the v5e's 15.75 GB HBM. Per
-        phase the peak halves, per-chunk dispatch overhead still
-        disappears (VERDICT r3 #4), and the X-phase (A, b) panel
-        accumulators are created inside the program, so the r3
-        cross-dispatch donation failure (a ~1 GB bf16 copy per group)
-        cannot happen."""
+        GB peak on Netflix mesh=1, over the v5e's 15.75 GB HBM; the
+        per-phase theta program STILL OOMs there (XLA hoists every
+        block's 0.5-1 GB gather/partial-Gram temps; round4_logs/
+        netflix_mesh1b.log), which is why run()'s auto mode uses the
+        barrier-chained GROUP dispatches (_theta_group_fn /
+        _x_chunk_group_fn) instead."""
 
         def x_phase(x_sharded, theta, chunk_data):
             if self.x_steps is not None:
@@ -674,6 +674,64 @@ class ShardedALS:
 
         return (jax.jit(x_phase, donate_argnums=(0,)),
                 jax.jit(theta_phase, donate_argnums=(1,)))
+
+    # Blocks per fused group dispatch: each theta block holds ~0.5-1 GB
+    # of gather + partial-Gram temps live (Netflix shapes), and the
+    # in-group barrier serializes them, so the group's peak is ~one
+    # block while dispatch count (the axon tunnel charges per dispatch;
+    # VERDICT r3 #4's 25% mesh=1 overhead) drops by the group factor.
+    GROUP_BLOCKS = 8
+
+    def _theta_group_fn(self, idxs):
+        """One jitted SPMD program covering theta blocks idxs. The
+        blocks are chained through an optimization_barrier on
+        (x, theta, se) so XLA cannot hoist every block's gather — the
+        unbarriered per-phase program co-materializes them and OOMs
+        HBM (see fused_phases)."""
+        blocks = self.reduce_plan.blocks
+        key = ("theta_group", tuple(
+            (blocks[i].width, blocks[i].rows.shape[0]) for i in idxs),
+            self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        sms = [self._theta_block_sm(blocks[i].width,
+                                    blocks[i].rows.shape[0])
+               for i in idxs]
+
+        def group(x_sharded, theta, se, block_args):
+            for sm, args in zip(sms, block_args):
+                x_b, theta, se = jax.lax.optimization_barrier(
+                    (x_sharded, theta, se))
+                theta, se = sm(x_b, theta, se, *args)
+            return theta, se
+
+        fn = jax.jit(group, donate_argnums=(1, 2))
+        self._fn_cache[key] = fn
+        return fn
+
+    def _x_chunk_group_fn(self, idxs):
+        """Group twin for the non-panel X phase: one jitted program per
+        GROUP_BLOCKS row chunks, barrier-chained for bounded gather
+        liveness."""
+        chunks = self.row_plan.chunks
+        key = ("x_group", tuple(
+            (chunks[i].width, chunks[i].rows.shape[1]) for i in idxs),
+            self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        sms = [self._x_chunk_sm(chunks[i].width, chunks[i].rows.shape[1])
+               for i in idxs]
+
+        def group(theta, x_sharded, chunk_args):
+            for sm, args in zip(sms, chunk_args):
+                theta_b, x_sharded = jax.lax.optimization_barrier(
+                    (theta, x_sharded))
+                x_sharded = sm(theta_b, x_sharded, *args)
+            return x_sharded
+
+        fn = jax.jit(group, donate_argnums=(1,))
+        self._fn_cache[key] = fn
+        return fn
 
     # ---------- test RMSE ----------
     def _build_coo_plan(self, coo: COOMatrix):
@@ -765,6 +823,39 @@ class ShardedALS:
         se_total = float(se_acc) if block_data else 0.0
         return x_sharded, theta, se_total
 
+    def _grouped_iteration(self, x_sharded, theta, device_data):
+        """One ALS iteration via barrier-chained GROUP dispatches
+        (fused_step="auto" on accelerator meshes): the panelized X
+        phase already dispatches per panel group; the non-panel X
+        chunks and the theta reduce blocks go GROUP_BLOCKS per jitted
+        program. Same math as iteration(), ~1/GROUP_BLOCKS of its
+        dispatch count."""
+        cfg = self.cfg
+        chunk_data, block_data = device_data
+        if self.x_steps is not None:
+            x_sharded = self._run_x_panel_phase(x_sharded, theta,
+                                                chunk_data, jitted=True)
+        else:
+            for lo in range(0, len(chunk_data), self.GROUP_BLOCKS):
+                idxs = range(lo, min(lo + self.GROUP_BLOCKS,
+                                     len(chunk_data)))
+                fn = self._x_chunk_group_fn(list(idxs))
+                x_sharded = call_with_vmem_backoff(
+                    fn, theta, x_sharded,
+                    tuple(chunk_data[i] for i in idxs),
+                    uses_pallas=backend_uses_pallas(cfg))
+        se_acc = jnp.zeros((), jnp.float32)
+        for lo in range(0, len(block_data), self.GROUP_BLOCKS):
+            idxs = range(lo, min(lo + self.GROUP_BLOCKS,
+                                 len(block_data)))
+            fn = self._theta_group_fn(list(idxs))
+            theta, se_acc = call_with_vmem_backoff(
+                fn, x_sharded, theta, se_acc,
+                tuple(block_data[i] for i in idxs),
+                uses_pallas=backend_uses_pallas(cfg))
+        se_total = float(se_acc) if block_data else 0.0
+        return x_sharded, theta, se_total
+
     def _maybe_throttle(self, i: int, ref) -> None:
         """Simulated-mesh dispatch throttle: on the CPU backend the
         async queue outruns execution, and hundreds of enqueued block
@@ -787,16 +878,19 @@ class ShardedALS:
         x = self.shard_x(x0)
         theta = self.replicate_theta(theta0)
         device_data = self.device_plan()  # plan resident for the run
-        # One fused SPMD program per PHASE on accelerator meshes
-        # (VERDICT r3 #4: per-chunk dispatch cost ~25% at mesh=1, and
-        # the cross-dispatch accumulator donation never aliased; the
-        # whole-iteration program OOMs HBM at Netflix scale — see
-        # fused_phases). CPU meshes keep per-chunk dispatch + throttle
-        # (one big program at realistic shapes holds all gather buffers
-        # live — r3 abort).
-        use_fused = cfg.fused_step == "on" or (
-            cfg.fused_step == "auto" and not self._cpu_mesh)
-        phase_fns = self.fused_phases() if use_fused else None
+        # Fused dispatch granularity (VERDICT r3 #4: per-chunk dispatch
+        # cost ~25% at mesh=1 — the tunnel charges per dispatch):
+        #   auto -> barrier-chained GROUP programs (~GROUP_BLOCKS per
+        #           dispatch, HBM peak ~one block; whole-phase programs
+        #           OOM at Netflix scale, round4_logs/netflix_mesh1b);
+        #   on   -> one program per phase (A/B; falls back on OOM);
+        #   off  -> per-chunk dispatch (+ CPU-mesh throttle).
+        # CPU meshes always take per-chunk (one big program at
+        # realistic shapes aborts XLA:CPU — r3).
+        mode = cfg.fused_step
+        if self._cpu_mesh and mode == "auto":
+            mode = "off"
+        phase_fns = self.fused_phases() if mode == "on" else None
         history: List[IterationMetrics] = []
         if cfg.verbose:
             print(f"*******parameters: m: {cfg.m}, n:  {cfg.n}, "
@@ -820,19 +914,24 @@ class ShardedALS:
                 except Exception as e:  # noqa: BLE001 — filtered below
                     from cumf_als_tpu.ops.pallas_solve import \
                         _classify_compile_oom
-                    if cfg.fused_step != "auto" or it != start_iter or \
+                    if it != start_iter or \
                             _classify_compile_oom(e) is None:
                         raise
                     # HBM-OOM at compile (the opaque remote-compile
                     # failure survives the VMEM backoff): the fused
                     # phase program's working set exceeds the chip.
                     # Donated inputs are only consumed at execution,
-                    # so falling back to per-chunk dispatch is safe.
+                    # so falling back to group dispatch is safe.
                     print("[sharded] fused phase program failed to "
-                          "compile; falling back to per-chunk "
+                          "compile; falling back to group "
                           f"dispatch ({e})", file=sys.stderr, flush=True)
                     phase_fns = None
-                    x, theta, se = self.iteration(x, theta, device_data)
+                    mode = "auto"
+                    x, theta, se = self._grouped_iteration(
+                        x, theta, device_data)
+            elif mode == "auto":
+                x, theta, se = self._grouped_iteration(x, theta,
+                                                       device_data)
             else:
                 x, theta, se = self.iteration(x, theta, device_data)
             theta.block_until_ready()

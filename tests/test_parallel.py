@@ -132,9 +132,10 @@ class TestShardedEqualsSingle:
             ref.history[0].train_rmse, abs=1e-4)
 
     def test_fused_step_run_matches_per_chunk_run(self, medium_problem):
-        """run() with fused_step='on' (the accelerator default: one
-        jitted SPMD program per iteration) must reproduce the per-chunk
-        dispatch trajectory."""
+        """run() with fused_step='on' (one jitted SPMD program per
+        phase) and the grouped auto mode (barrier-chained GROUP_BLOCKS
+        programs — the accelerator default) must both reproduce the
+        per-chunk dispatch trajectory."""
         train, test = medium_problem
         cfg = _cfg(train, solver="cg")
         x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
@@ -142,10 +143,18 @@ class TestShardedEqualsSingle:
                          test, block_rows=64).run(x0, th0)
         on = ShardedALS(cfg.replace(fused_step="on"), train, None,
                         test, block_rows=64).run(x0, th0)
-        for a, b in zip(off.history, on.history):
-            assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-5)
-            assert b.test_rmse == pytest.approx(a.test_rmse, abs=1e-5)
-        np.testing.assert_allclose(on.x, off.x, rtol=1e-4, atol=1e-4)
+        grouped_model = ShardedALS(cfg.replace(fused_step="auto"),
+                                   train, None, test, block_rows=64)
+        grouped_model._cpu_mesh = False  # force the accelerator route
+        grouped = grouped_model.run(x0, th0)
+        for got in (on, grouped):
+            for a, b in zip(off.history, got.history):
+                assert b.train_rmse == pytest.approx(a.train_rmse,
+                                                     abs=1e-5)
+                assert b.test_rmse == pytest.approx(a.test_rmse,
+                                                    abs=1e-5)
+            np.testing.assert_allclose(got.x, off.x, rtol=1e-4,
+                                       atol=1e-4)
 
     def test_sharded_runs_on_subset_of_devices(self, small_problem):
         train, test = small_problem
