@@ -11,7 +11,7 @@ is inverse-CDF over Zipf-like weights, chunked so Netflix/Yahoo-scale
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -177,29 +177,40 @@ WORKLOAD_SHAPES = {
     # accuracy regime (reference print-test-result.sh:10: test RMSE
     # ~0.92 at iteration 9 with F=100, lambda=0.048): signal/noise are
     # tuned so the converged test RMSE of this zero-egress stand-in is
-    # falsifiably close to the real-data north star. Used by
-    # `bench.py --accuracy-check`; see scripts/calibrate_accuracy.py
-    # for the measured calibration sweep.
+    # falsifiably close to the real-data north star. Measured sweep
+    # (v5e, scale 0.25 — per-row rating counts are scale-invariant, so
+    # the F=100 regime transfers; round4_logs/calibrate2.jsonl):
+    # noise 0.86 -> final test RMSE 0.872, 0.90 -> 0.906,
+    # 0.93 -> 0.931; 0.92 interpolates to ~0.922. Used by
+    # `bench.py --workload netflix_cal --accuracy-check`.
     "netflix_cal": dict(m=17770, n=480_189, nnz=99_072_112,
                         nnz_test=1_408_395, skew=(0.5, 0.35),
                         rating_range=(1.0, 5.0), rank=10,
-                        noise=0.86, signal_scale=0.6),
+                        noise=0.92, signal_scale=0.6),
 }
 
 
 def workload_ratings(name: str, scale: float = 1.0, seed: int = 0,
-                     rank: int = 10, noise: float = 0.35, **overrides):
+                     rank: Optional[int] = None,
+                     noise: Optional[float] = None, **overrides):
     """Synthetic dataset shaped like a named reference workload,
-    optionally scaled down (scale < 1) for smoke runs. Entries may pin
-    their own planted-model parameters (rank/noise/signal_scale), which
-    take precedence over the defaults; `overrides` wins over both."""
+    optionally scaled down (scale < 1) for smoke runs. Planted-model
+    parameter precedence: explicit caller arguments > the entry's own
+    pinned values (netflix_cal's calibrated rank/noise/signal_scale) >
+    the historical defaults (rank 10, noise 0.35)."""
     shp = dict(WORKLOAD_SHAPES[name])
     if scale != 1.0:
         for k in ("m", "n", "nnz", "nnz_test"):
             shp[k] = max(8, int(shp[k] * scale))
-    params = dict(rank=rank, noise=noise)
+    params = {}
     for k in ("rank", "noise", "signal_scale"):
         if k in shp:
             params[k] = shp.pop(k)
+    if rank is not None:
+        params["rank"] = rank
+    if noise is not None:
+        params["noise"] = noise
     params.update(overrides)
+    params.setdefault("rank", 10)
+    params.setdefault("noise", 0.35)
     return synthetic_ratings(seed=seed, **params, **shp)

@@ -98,6 +98,12 @@ def make_width_grid(min_width: int, max_len: int, fine: bool = True,
                 grid.add(w * 11 // 8)
                 grid.add(w * 13 // 8)
                 grid.add(w * 15 // 8)
+            if octave_points >= 16 and w >= 256:
+                # sixteenth-octave points for the long-row octaves,
+                # where a single padded row costs hundreds of padded
+                # nonzeros: mean overshoot ~2.2% vs ~4.5% at 8 points
+                for q in range(17, 32, 2):
+                    grid.add(w * q // 16)
         w *= 2
     widths = sorted(x for x in grid
                     if max_width is None or x <= max_width
