@@ -103,7 +103,19 @@ class ShardedALS:
                     -(-(self.row_plan.m_loc + 1) // 8) * 8)
         m_pad = -(-(self.row_plan.m_loc + 1) // batch) * batch
         margin = max(1, ps // 8)
-        if (cfg.use_panels != "never"
+        # Mirror the plain ALS strategy (models/als._phase_strategy):
+        # with the fused Gram+CG kernel, DIRECT chunk gathers beat the
+        # panel accumulators until the replicated table hits the slow
+        # gather tier — the panel path writes/reads an (m_pad, f, f)
+        # accumulator per iteration that direct never materializes
+        # (mesh=1 Netflix measured 1.18 panel vs ~1.0 direct, r4).
+        prefer_direct = False
+        if cfg.backend == "pallas" and cfg.solver == "cg":
+            item = 2 if cfg.factor_dtype == "bf16" else 4
+            if train_csr.num_cols * f * item <= cfg.split_min_table_bytes:
+                from cumf_als_tpu.ops.pallas_solve import fused_available
+                prefer_direct = fused_available()
+        if (cfg.use_panels != "never" and not prefer_direct
                 and train_csr.num_cols > ps + margin
                 and m_pad * f * f * a_el <= cfg.panel_budget_bytes):
             self.x_panel_size = ps
@@ -491,14 +503,25 @@ class ShardedALS:
         if use_pallas:
             from cumf_als_tpu.ops.pallas_solve import fused_available
             use_pallas = fused_available()
-        from cumf_als_tpu.ops.pallas_solve import panel_aug_enabled
+        from cumf_als_tpu.ops.pallas_solve import (aug_enabled,
+                                                   panel_aug_enabled)
         aug = panel_aug_enabled(cfg)
+        aug_direct = use_pallas and aug_enabled(cfg)
 
         # bf16 partials (CUMF_TT_FP16 analog): halves the partial-Gram
         # HBM writes AND the ICI all-reduce bytes; the regularizer is
         # applied to the f32 VMEM copy inside the CG solve kernel, so
         # the raw A never gets upcast in HBM.
         a_dt = "bfloat16" if cfg.gram_dtype == "bf16" else "float32"
+
+        # n_dev == 1: every theta row's ratings are device-local, so
+        # the psum'd accumulate-then-solve structure degenerates — the
+        # fused Gram+CG kernel solves the block directly with A never
+        # leaving VMEM (no materialized (R, f, f) partial, no separate
+        # CG pass). This is what closes the r3/r4 mesh=1 gap vs plain
+        # ALS (1.18-1.24 vs ~1.0 s/iter).
+        single_fused = self.n_dev == 1 and use_pallas and \
+            cfg.solver == "cg"
 
         def body(x_shard, theta, se_in, rows, nnz_local, nnz_total,
                  cols, vals):
@@ -507,6 +530,16 @@ class ShardedALS:
                 xs = xs.astype(jnp.bfloat16)
             xs_ext = jnp.concatenate(
                 [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
+            if single_fused:
+                from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
+                th0 = jnp.take(theta, rows, axis=0, mode="fill",
+                               fill_value=0.0)
+                solved, se_rows = gather_gram_cg(
+                    xs_ext, cols[0], vals[0], nnz_total, th0, cfg.lam,
+                    cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
+                    factor_dtype=cfg.factor_dtype, aug=aug_direct)
+                theta = theta.at[rows].set(solved, mode="drop")
+                return theta, se_in + jnp.sum(se_rows)
             if aug:
                 # combined partial A' (b in row f-1, sum r^2 in the
                 # corner): ONE psum replaces the (A, b, vsq) trio

@@ -156,6 +156,37 @@ class TestShardedEqualsSingle:
             np.testing.assert_allclose(got.x, off.x, rtol=1e-4,
                                        atol=1e-4)
 
+    def test_mesh1_fused_theta_matches_reference(self, medium_problem,
+                                                 monkeypatch):
+        """n_dev == 1 routes theta blocks through the fused Gram+CG
+        kernel directly (no materialized partial Gram, no psum) and
+        skips the panelized X phase — the structure that closed the
+        mesh=1 gap vs plain ALS (r4). Interpret-mode kernels on CPU;
+        trajectory must match the multi-step reduce path."""
+        import jax.experimental.pallas as pl
+        import cumf_als_tpu.ops.pallas_solve as ps
+        train, test = medium_problem
+        cfg = _cfg(train, solver="cg", backend="pallas", aug_gram="off",
+                   cg_iters=25, cg_tol=1e-10)
+        x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+        ref = ShardedALS(cfg.replace(backend="xla"), train, None, test,
+                         n_devices=1, block_rows=64).run(x0, th0)
+        orig = pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ps.pl, "pallas_call", patched)
+        monkeypatch.setattr(ps, "fused_available", lambda: True)
+        model = ShardedALS(cfg, train, None, test, n_devices=1,
+                           block_rows=64)
+        assert model.x_steps is None  # direct beats panels here
+        got = model.run(x0, th0)
+        for a, b in zip(ref.history, got.history):
+            assert b.train_rmse == pytest.approx(a.train_rmse, abs=2e-4)
+            assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-4)
+
     def test_sharded_runs_on_subset_of_devices(self, small_problem):
         train, test = small_problem
         cfg = _cfg(train, iters=1)
