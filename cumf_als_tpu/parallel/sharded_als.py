@@ -104,18 +104,14 @@ class ShardedALS:
         m_pad = -(-(self.row_plan.m_loc + 1) // batch) * batch
         margin = max(1, ps // 8)
         # Mirror the plain ALS strategy (models/als._phase_strategy):
-        # with the fused Gram+CG kernel, DIRECT chunk gathers beat the
-        # panel accumulators until the replicated table hits the slow
-        # gather tier — the panel path writes/reads an (m_pad, f, f)
-        # accumulator per iteration that direct never materializes
-        # (mesh=1 Netflix measured 1.18 panel vs ~1.0 direct, r4).
-        prefer_direct = False
-        if cfg.backend == "pallas" and cfg.solver == "cg":
-            item = 2 if cfg.factor_dtype == "bf16" else 4
-            if train_csr.num_cols * f * item <= cfg.split_min_table_bytes:
-                from cumf_als_tpu.ops.pallas_solve import fused_available
-                prefer_direct = fused_available()
-        if (cfg.use_panels != "never" and not prefer_direct
+        # panel whenever the replicated gather table exceeds the fast
+        # gather tier (> panel_size rows) and the accumulator fits.
+        # r4 NOTE: an earlier r4 cut preferred DIRECT chunks for
+        # slow-tier tables under split_min_table_bytes — measured a 2.3x
+        # regression (2.70 vs 1.198 s/iter, round4_logs/netflix_mesh1e
+        # vs mesh1b): 99M gathers from the 480k-row Netflix theta table
+        # run at the ~13 ns/row HBM tier, exactly what panels avoid.
+        if (cfg.use_panels != "never"
                 and train_csr.num_cols > ps + margin
                 and m_pad * f * f * a_el <= cfg.panel_budget_bytes):
             self.x_panel_size = ps
@@ -180,10 +176,11 @@ class ShardedALS:
         return jax.device_put(out, self._repl)
 
     # ---------- jitted sharded steps ----------
-    def _x_chunk_sm(self, width: int, r: int):
-        """shard_map-wrapped (unjitted) X-phase chunk update; cached per
-        shape so it can be composed inside larger jitted programs."""
-        key = ("x_sm", width, r, self.cfg.solver)
+    def _x_body_fn(self):
+        """The per-chunk X row solve on an ALREADY cast+extended theta
+        table: (theta_ext, xs, rows, nnz, cols, vals) -> xs, all args
+        device-local (leading axis stripped)."""
+        key = ("x_body", self.cfg.solver)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -196,34 +193,45 @@ class ShardedALS:
             use_pallas = fused_available()
             use_aug = use_pallas and aug_enabled(cfg)
 
-        def body(theta, x_shard, rows, nnz, cols, vals):
-            # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
-            xs = x_shard[0]
-            if cfg.factor_dtype == "bf16":  # bf16 table pre-gather
-                theta = theta.astype(jnp.bfloat16)
-            # zero-extend: padded cols (== n) must gather zeros
-            theta_ext = jnp.concatenate(
-                [theta, jnp.zeros((1, theta.shape[1]), theta.dtype)], axis=0)
-            x0 = jnp.take(xs, rows[0], axis=0, mode="fill", fill_value=0.0)
+        def body(theta_ext, xs, rows, nnz, cols, vals):
+            x0 = jnp.take(xs, rows, axis=0, mode="fill", fill_value=0.0)
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
                 solved, _se = gather_gram_cg(
-                    theta_ext, cols[0], vals[0], nnz[0], x0, cfg.lam,
+                    theta_ext, cols, vals, nnz, x0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                     factor_dtype=cfg.factor_dtype, aug=use_aug)
             else:
-                a, b = _gram_local(theta_ext, cols[0], vals[0],
+                a, b = _gram_local(theta_ext, cols, vals,
                                    cfg.gram_precision,
                                    cfg.factor_dtype)
-                nnzf = nnz[0].astype(jnp.float32)
+                nnzf = nnz.astype(jnp.float32)
                 diag = nnzf * cfg.lam + (nnzf == 0)
                 a = a + diag[:, None, None] * jnp.eye(a.shape[-1],
                                                       dtype=jnp.float32)
                 solved = solve(a, b, x0, solver=cfg.solver,
                                cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                                backend=cfg.backend)
-                solved = solved * (nnz[0] > 0)[:, None]
-            xs = xs.at[rows[0]].set(solved, mode="drop")
+                solved = solved * (nnz > 0)[:, None]
+            return xs.at[rows].set(solved, mode="drop")
+
+        self._fn_cache[key] = body
+        return body
+
+    def _x_chunk_sm(self, width: int, r: int):
+        """shard_map-wrapped (unjitted) X-phase chunk update; cached per
+        shape so it can be composed inside larger jitted programs."""
+        key = ("x_sm", width, r, self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        body_fn = self._x_body_fn()
+
+        def body(theta, x_shard, rows, nnz, cols, vals):
+            # per-device blocks: x_shard (1, m_loc, f); index arrays (1, ...)
+            # zero-extend: padded cols (== n) must gather zeros
+            theta_ext = self._extend_table(theta)
+            xs = body_fn(theta_ext, x_shard[0], rows[0], nnz[0],
+                         cols[0], vals[0])
             return xs[None]
 
         sm = jax.shard_map(
@@ -402,9 +410,14 @@ class ShardedALS:
         aug = panel_aug_enabled(self.cfg)
         key = ("xp_solve", self.cfg.solver, aug)
         if key not in self._fn_cache:
+            # Donate only x_shard (its shape matches the output). The
+            # (A, b) accumulators are READ across every solve batch, so
+            # XLA can never alias them into the small output — donating
+            # them only produced the "donated buffers were not usable"
+            # warning flagged in VERDICT r3 #4.
             self._fn_cache[key] = jax.jit(
                 self._x_panel_solve_sm(),
-                donate_argnums=(0, 1) if aug else (0, 1, 2))
+                donate_argnums=(1,) if aug else (2,))
         return self._fn_cache[key]
 
     def _x_panel_groups(self):
@@ -493,8 +506,23 @@ class ShardedALS:
             fn, *args, uses_pallas=backend_uses_pallas(self.cfg)) \
             if jitted else fn(*args)
 
-    def _theta_block_sm(self, width: int, c: int):
-        key = ("theta_sm", width, c, self.cfg.solver)
+    def _extend_table(self, table):
+        """Cast (bf16 path) + zero-extend a gather table ONCE — hoisted
+        out of the per-block bodies so barrier-chained group programs
+        don't re-materialize it per block (r4: 37 re-casts of the 123 MB
+        Netflix theta table cost more than the grouping saved)."""
+        if self.cfg.factor_dtype == "bf16":
+            table = table.astype(jnp.bfloat16)
+        return jnp.concatenate(
+            [table, jnp.zeros((1, table.shape[-1]), table.dtype)],
+            axis=0)
+
+    def _theta_body_fn(self):
+        """The per-block theta update on an ALREADY cast+extended local
+        X table: (xs_ext, theta, se_in, rows, nnz_total, cols, vals) ->
+        (theta, se). cols/vals are the device-local (leading-axis-
+        stripped) views; runs under shard_map (the psums bind there)."""
+        key = ("theta_body", self.cfg.solver)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -523,19 +551,13 @@ class ShardedALS:
         single_fused = self.n_dev == 1 and use_pallas and \
             cfg.solver == "cg"
 
-        def body(x_shard, theta, se_in, rows, nnz_local, nnz_total,
-                 cols, vals):
-            xs = x_shard[0]
-            if cfg.factor_dtype == "bf16":
-                xs = xs.astype(jnp.bfloat16)
-            xs_ext = jnp.concatenate(
-                [xs, jnp.zeros((1, xs.shape[-1]), xs.dtype)], axis=0)
+        def body(xs_ext, theta, se_in, rows, nnz_total, cols, vals):
             if single_fused:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_cg
                 th0 = jnp.take(theta, rows, axis=0, mode="fill",
                                fill_value=0.0)
                 solved, se_rows = gather_gram_cg(
-                    xs_ext, cols[0], vals[0], nnz_total, th0, cfg.lam,
+                    xs_ext, cols, vals, nnz_total, th0, cfg.lam,
                     cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
                     factor_dtype=cfg.factor_dtype, aug=aug_direct)
                 theta = theta.at[rows].set(solved, mode="drop")
@@ -546,11 +568,11 @@ class ShardedALS:
                 from cumf_als_tpu.ops.pallas_solve import (
                     augment_g, gather_gram_aug_out)
                 if use_pallas:
-                    a_part = gather_gram_aug_out(xs_ext, cols[0],
-                                                 vals[0], out_dtype=a_dt)
+                    a_part = gather_gram_aug_out(xs_ext, cols,
+                                                 vals, out_dtype=a_dt)
                 else:
-                    g = augment_g(jnp.take(xs_ext, cols[0], axis=0),
-                                  vals[0])
+                    g = augment_g(jnp.take(xs_ext, cols, axis=0),
+                                  vals)
                     a_part = jnp.einsum(
                         "rpf,rpg->rfg", g, g,
                         precision=_PRECISIONS[cfg.gram_precision],
@@ -558,10 +580,10 @@ class ShardedALS:
                     ).astype(jnp.dtype(a_dt))
             elif use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import gather_gram_out
-                a_part, b_part = gather_gram_out(xs_ext, cols[0],
-                                                 vals[0], out_dtype=a_dt)
+                a_part, b_part = gather_gram_out(xs_ext, cols,
+                                                 vals, out_dtype=a_dt)
             else:
-                a_part, b_part = _gram_local(xs_ext, cols[0], vals[0],
+                a_part, b_part = _gram_local(xs_ext, cols, vals,
                                              cfg.gram_precision,
                                              cfg.factor_dtype)
                 a_part = a_part.astype(jnp.dtype(a_dt))
@@ -582,7 +604,7 @@ class ShardedALS:
                 vsq = brow[:, f - 1]
             else:
                 b = jax.lax.psum(b_part, DATA_AXIS)
-                vsq = jax.lax.psum(jnp.sum(vals[0] * vals[0], axis=-1),
+                vsq = jax.lax.psum(jnp.sum(vals * vals, axis=-1),
                                    DATA_AXIS)
             solved = solve(a, None if aug else b, th0, solver=cfg.solver,
                            cg_iters=cfg.cg_iters, cg_tol=cfg.cg_tol,
@@ -603,6 +625,20 @@ class ShardedALS:
             # is a multi-device dispatch, and hundreds of them
             # abort-crashed XLA:CPU on realistic shapes (r3)
             return theta, se_in + se
+
+        self._fn_cache[key] = body
+        return body
+
+    def _theta_block_sm(self, width: int, c: int):
+        key = ("theta_sm", width, c, self.cfg.solver)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        body_fn = self._theta_body_fn()
+
+        def body(x_shard, theta, se_in, rows, nnz_local, nnz_total,
+                 cols, vals):
+            return body_fn(self._extend_table(x_shard[0]), theta, se_in,
+                           rows, nnz_total, cols[0], vals[0])
 
         sm = jax.shard_map(
             body, mesh=self.mesh,
@@ -716,53 +752,74 @@ class ShardedALS:
     GROUP_BLOCKS = 8
 
     def _theta_group_fn(self, idxs):
-        """One jitted SPMD program covering theta blocks idxs. The
-        blocks are chained through an optimization_barrier on
-        (x, theta, se) so XLA cannot hoist every block's gather — the
-        unbarriered per-phase program co-materializes them and OOMs
-        HBM (see fused_phases)."""
+        """One jitted SPMD program covering theta blocks idxs: ONE
+        shard_map whose body casts+extends the local X table once, then
+        runs the blocks chained through an optimization_barrier on
+        (xs_ext, theta, se) — XLA can neither hoist every block's
+        0.5-1 GB gather/partial temps (the unbarriered per-phase
+        program co-materializes them and OOMs HBM, see fused_phases)
+        nor, because the prep is OUTSIDE the chain, re-materialize the
+        table per block (the r4 first-cut group fns re-cast the 123 MB
+        Netflix theta table per chunk and LOST time)."""
         blocks = self.reduce_plan.blocks
         key = ("theta_group", tuple(
             (blocks[i].width, blocks[i].rows.shape[0]) for i in idxs),
             self.cfg.solver)
         if key in self._fn_cache:
             return self._fn_cache[key]
-        sms = [self._theta_block_sm(blocks[i].width,
-                                    blocks[i].rows.shape[0])
-               for i in idxs]
+        body_fn = self._theta_body_fn()
+        n = len(idxs)
 
-        def group(x_sharded, theta, se, block_args):
-            for sm, args in zip(sms, block_args):
-                x_b, theta, se = jax.lax.optimization_barrier(
-                    (x_sharded, theta, se))
-                theta, se = sm(x_b, theta, se, *args)
+        def group(x_shard, theta, se, block_args):
+            xs_ext = self._extend_table(x_shard[0])
+            for (rows, _nnz_local, nnz_total, cols, vals) in block_args:
+                xs_ext, theta, se = jax.lax.optimization_barrier(
+                    (xs_ext, theta, se))
+                theta, se = body_fn(xs_ext, theta, se, rows, nnz_total,
+                                    cols[0], vals[0])
             return theta, se
 
-        fn = jax.jit(group, donate_argnums=(1, 2))
+        blk_spec = (P(), P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS))
+        sm = jax.shard_map(
+            group, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(), P(),
+                      tuple(blk_spec for _ in range(n))),
+            out_specs=(P(), P()), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(1, 2))
         self._fn_cache[key] = fn
         return fn
 
     def _x_chunk_group_fn(self, idxs):
-        """Group twin for the non-panel X phase: one jitted program per
-        GROUP_BLOCKS row chunks, barrier-chained for bounded gather
-        liveness."""
+        """Group twin for the non-panel X phase: one shard_map program
+        per GROUP_BLOCKS row chunks — the replicated theta table is
+        cast+extended once, the chunk solves chain through a barrier
+        for bounded gather liveness."""
         chunks = self.row_plan.chunks
         key = ("x_group", tuple(
             (chunks[i].width, chunks[i].rows.shape[1]) for i in idxs),
             self.cfg.solver)
         if key in self._fn_cache:
             return self._fn_cache[key]
-        sms = [self._x_chunk_sm(chunks[i].width, chunks[i].rows.shape[1])
-               for i in idxs]
+        body_fn = self._x_body_fn()
+        n = len(idxs)
 
-        def group(theta, x_sharded, chunk_args):
-            for sm, args in zip(sms, chunk_args):
-                theta_b, x_sharded = jax.lax.optimization_barrier(
-                    (theta, x_sharded))
-                x_sharded = sm(theta_b, x_sharded, *args)
-            return x_sharded
+        def group(theta, x_shard, chunk_args):
+            theta_ext = self._extend_table(theta)
+            xs = x_shard[0]
+            for (rows, nnz, cols, vals) in chunk_args:
+                theta_ext, xs = jax.lax.optimization_barrier(
+                    (theta_ext, xs))
+                xs = body_fn(theta_ext, xs, rows[0], nnz[0], cols[0],
+                             vals[0])
+            return xs[None]
 
-        fn = jax.jit(group, donate_argnums=(1,))
+        ch_spec = (P(DATA_AXIS),) * 4
+        sm = jax.shard_map(
+            group, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS),
+                      tuple(ch_spec for _ in range(n))),
+            out_specs=P(DATA_AXIS), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=(1,))
         self._fn_cache[key] = fn
         return fn
 

@@ -435,6 +435,7 @@ class ShardedOutOfCoreALS:
         if key in self._fn_cache:
             return self._fn_cache[key]
         solve_rows = self._chunk_solver()
+        warm = self.cfg.x_warm_start
 
         def body(x_dev, theta, rows, nnz, cols, vals):
             rows = rows[0].astype(jnp.int32)
@@ -447,8 +448,14 @@ class ShardedOutOfCoreALS:
             # start restores the plain-ALS trajectory at no transfer
             # cost; sentinel rows (id >= m_loc_pad) read as zero and
             # their solves are dropped by the scatter anyway.
-            x0 = jnp.take(x_dev[0], rows, axis=0, mode="fill",
-                          fill_value=0).astype(jnp.float32)
+            # cfg.x_warm_start=False reverts to the cold start (the
+            # state-dir per-process mode, where X is not persisted).
+            if warm:
+                x0 = jnp.take(x_dev[0], rows, axis=0, mode="fill",
+                              fill_value=0).astype(jnp.float32)
+            else:
+                x0 = jnp.zeros((rows.shape[0], theta.shape[-1]),
+                               jnp.float32)
             solved = solve_rows(theta, x0, nnz[0], cols, vals)
             # dummy rows (sentinel id m_loc) write zeros into the panel
             # padding region, which must stay zero anyway; ids past

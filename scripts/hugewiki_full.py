@@ -56,6 +56,14 @@ def main(argv=None) -> int:
                         "--iters are done. Bounds the axon tunnel "
                         "client's H2D leak (~1 byte leaked per byte "
                         "streamed) to a single iteration's volume.")
+    p.add_argument("--x-warm-start", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="device-X CG warm start from the HBM shard. "
+                        "auto: on, except off under --state-dir — the "
+                        "per-process mode persists theta alone, so a "
+                        "restarted iteration has no previous X to warm "
+                        "from and the state-dir trajectory only equals "
+                        "the single-process one under cold starts")
     args = p.parse_args(argv)
 
     from cumf_als_tpu.utils.jax_setup import setup_jax
@@ -90,11 +98,13 @@ def main(argv=None) -> int:
             return 0
 
     device_x = args.x_placement == "device"
+    warm = (args.x_warm_start == "on" or
+            (args.x_warm_start == "auto" and not args.state_dir))
     cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=args.f,
                     nnz=train.nnz, nnz_test=test.nnz, lam=0.048,
                     iters=(next_iter + 1 if args.state_dir
                            else args.iters),
-                    solver="cg",
+                    solver="cg", x_warm_start=warm,
                     cg_iters=args.cg_iters, factor_dtype="bf16",
                     gram_dtype="bf16", backend="pallas",
                     host_offload_x=True, verbose=True,

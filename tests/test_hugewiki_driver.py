@@ -31,9 +31,14 @@ def hugewiki_main(tmp_path, monkeypatch):
 def test_state_dir_matches_single_process(hugewiki_main, tmp_path,
                                           capsys):
     scale, iters = 0.0002, 2
-    # uninterrupted 2-iteration run
+    # uninterrupted 2-iteration run. Cold CG starts on BOTH sides: the
+    # state-dir mode persists theta alone (X is deliberately not
+    # persisted — D2H of the full-scale shard costs minutes per GB on
+    # the tunnel), so a restarted iteration cannot warm-start and the
+    # identity contract is over cold-start semantics (--x-warm-start
+    # auto already resolves to off under --state-dir).
     assert hugewiki_main(["--scale", str(scale), "--iters", str(iters),
-                          "--f", "16"]) == 0
+                          "--f", "16", "--x-warm-start", "off"]) == 0
     single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     # same run, one iteration per invocation through the state dir
