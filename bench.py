@@ -148,7 +148,8 @@ def main() -> int:
     # test-RMSE delta vs f32 is 1.5e-4 — inside the reference's own
     # half-precision envelope — for ~3% iteration time.
     p.add_argument("--gram-dtype", default="bf16", choices=["f32", "bf16"])
-    p.add_argument("--aug-gram", default="auto", choices=["auto", "off"],
+    p.add_argument("--aug-gram", default="auto",
+                   choices=["auto", "off", "force"],
                    help="augmented-lane Gram: rating values ride the "
                         "free factor lane so one MXU accumulation forms "
                         "A, b and r^2 together (auto engages when "
@@ -191,7 +192,8 @@ def main() -> int:
     log(f"[bench] devices: {jax.devices()}")
 
     lam = {"netflix": 0.048, "ml10m": 0.05, "yahoo": 1.4,
-           "hugewiki_mini": 0.048, "hugewiki": 0.048}[args.workload]
+           "hugewiki_mini": 0.048, "hugewiki": 0.048,
+           "netflix_cal": 0.048}[args.workload]
     train, test = load_workload(args.workload, args.scale)
 
     from cumf_als_tpu.config import ALSConfig

@@ -115,7 +115,11 @@ class ALSConfig:
     # G and one MXU accumulation forms A, b and sum(r^2) together —
     # the kernels' separate VPU b/r2 passes and their VMEM temporaries
     # disappear (ops/pallas_solve._kernel_aug). "off" for A/B runs.
-    aug_gram: str = "auto"         # auto | off
+    # "force" additionally skips the accumulate-path gram_dtype gate
+    # (ADVICE r3: a bf16 augmented accumulator rounds b at every
+    # scatter-add/psum) — an A/B lever reproducing the r3 behavior,
+    # NOT a production setting.
+    aug_gram: str = "auto"         # auto | off | force
     panel_size: int = 1 << 16
     panel_budget_bytes: int = 2 << 30
     # Split-table direct gathers for both-sides-big phases (the
@@ -230,7 +234,7 @@ class ALSConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.use_panels not in ("auto", "never"):
             raise ValueError(f"unknown use_panels {self.use_panels!r}")
-        if self.aug_gram not in ("auto", "off"):
+        if self.aug_gram not in ("auto", "off", "force"):
             raise ValueError(f"unknown aug_gram {self.aug_gram!r}")
         if self.stream_val_dtype not in ("f32", "f16"):
             raise ValueError(

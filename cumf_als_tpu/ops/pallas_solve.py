@@ -1347,7 +1347,7 @@ def panel_aug_enabled(cfg) -> bool:
     if cfg.solver != "cg" or getattr(cfg, "save_model", False) or \
             cfg.aug_gram == "off" or cfg.f >= cfg.f_pad:
         return False
-    if cfg.gram_dtype != "f32":
+    if cfg.gram_dtype != "f32" and cfg.aug_gram != "force":
         return False
     if cfg.backend != "pallas" or not fused_available():
         return True
