@@ -152,8 +152,10 @@ def main() -> int:
                    choices=["auto", "off", "force"],
                    help="augmented-lane Gram: rating values ride the "
                         "free factor lane so one MXU accumulation forms "
-                        "A, b and r^2 together (auto engages when "
-                        "f < f_pad)")
+                        "A, b and r^2 together (auto engages on "
+                        "accumulate paths with f32 accumulators; "
+                        "measured slower on the direct fused path, so "
+                        "auto=off there; force turns it on everywhere)")
     p.add_argument("--octave-points", type=int, default=8,
                    choices=[4, 8, 16])
     p.add_argument("--split-gather", default="auto",

@@ -109,16 +109,19 @@ class ALSConfig:
     # restructured as per-panel partial Grams scatter-added into the
     # accumulators ("auto"). "never" forces the direct path.
     use_panels: str = "auto"       # auto | never
-    # Augmented-lane Gram ("auto"): when the true F leaves lane f_pad-1
-    # free (any F not a multiple of 128 — including the reference's
-    # F=100 headline), the rating values ride that lane of the gathered
-    # G and one MXU accumulation forms A, b and sum(r^2) together —
-    # the kernels' separate VPU b/r2 passes and their VMEM temporaries
-    # disappear (ops/pallas_solve._kernel_aug). "off" for A/B runs.
-    # "force" additionally skips the accumulate-path gram_dtype gate
-    # (ADVICE r3: a bf16 augmented accumulator rounds b at every
-    # scatter-add/psum) — an A/B lever reproducing the r3 behavior,
-    # NOT a production setting.
+    # Augmented-lane Gram: when the true F leaves lane f_pad-1 free
+    # (any F not a multiple of 128 — including the reference's F=100
+    # headline), the rating values ride that lane of the gathered G and
+    # one MXU accumulation forms A, b and sum(r^2) together
+    # (ops/pallas_solve._kernel_aug). Measured economics differ by
+    # path (VERDICT r3 #3): on ACCUMULATE-then-solve paths one psum/
+    # scatter-add replaces three, so "auto" engages there (f32
+    # accumulators only — ADVICE r3); on the DIRECT fused path the
+    # saved RHS pass is cheaper than the in-kernel lane splice
+    # (Netflix 0.9958 split vs 1.006 aug s/iter), so "auto" resolves
+    # to off. "force" turns aug on everywhere, including the direct
+    # path and the bf16-accumulator case — an A/B lever, NOT a
+    # production setting. "off" disables aug on every path.
     aug_gram: str = "auto"         # auto | off | force
     panel_size: int = 1 << 16
     panel_budget_bytes: int = 2 << 30

@@ -1320,9 +1320,17 @@ def fused_available() -> bool:
 
 def aug_enabled(cfg) -> bool:
     """Whether direct fused dispatches under this config should use the
-    augmented-lane kernel: flag on, a free lane exists (f < f_pad), and
-    the kernel compiles on this toolchain."""
-    if getattr(cfg, "aug_gram", "off") == "off" or cfg.f >= cfg.f_pad:
+    augmented-lane kernel.
+
+    Measured on v5e (VERDICT r3 #3 / round3+4 logs): on the DIRECT
+    fused path the aug kernel is consistently the slower variant —
+    Netflix F=100 0.9958 s/iter split vs 1.006 aug (r3 A/B), 1.026 at
+    the r4 aug default — because the separate RHS segment-sum it saves
+    is cheaper than the extra masked lane-splice work inside the hot
+    kernel. So "auto" resolves to OFF here; "force" keeps the kernel
+    reachable for A/Bs. Accumulate-then-solve paths keep their own
+    economics (one psum replaces three) — see panel_aug_enabled."""
+    if getattr(cfg, "aug_gram", "off") != "force" or cfg.f >= cfg.f_pad:
         return False
     return aug_available()
 

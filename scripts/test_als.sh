@@ -4,7 +4,8 @@
 # THETA_BATCH scaled alongside F; reference test_als.sh:5-28). Batching
 # here is automatic (chunked plans), so the sweep just varies F.
 #
-# Usage: scripts/test_als.sh DATA_DIR M N NNZ NNZ_TEST [LAMBDA] [OUTDIR]
+# Usage: scripts/test_als.sh DATA_DIR M N NNZ NNZ_TEST [LAMBDA] [OUTDIR] \
+#            [extra cli flags...]
 set -euo pipefail
 DATA_DIR=${1:?data dir}
 M=${2:?M}
@@ -13,10 +14,11 @@ NNZ=${4:?NNZ}
 NNZ_TEST=${5:?NNZ_TEST}
 LAMBDA=${6:-0.05}
 OUTDIR=${7:-./als_sweep_logs}
+shift $(( $# > 7 ? 7 : $# ))
 mkdir -p "$OUTDIR"
 for F in 10 20 30 40 50 60 70 80 90 100 110 120 130 140 150 160 170 180 190 200; do
     echo "=== F=$F ==="
     python -m cumf_als_tpu.cli "$M" "$N" "$F" "$NNZ" "$NNZ_TEST" \
-        "$LAMBDA" 1 1 "$DATA_DIR" > "$OUTDIR/F_$F.log" 2>&1 || true
+        "$LAMBDA" 1 1 "$DATA_DIR" "$@" > "$OUTDIR/F_$F.log" 2>&1 || true
 done
 "$(dirname "$0")/print_test_result.sh" "$OUTDIR"
