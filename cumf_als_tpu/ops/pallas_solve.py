@@ -39,7 +39,8 @@ def _p_block(width: int, f: int = 128, g_itemsize: int = 4) -> int:
     scoped-vmem limit. Widths are q*2^k (k >= 4), so a multiple-of-16
     divisor always exists."""
     room = _VMEM_BUDGET // 8 - 16 * f * f - 32 * f
-    cap = max(16, (5 * room) // (29 * f + 4 * f * g_itemsize))
+    unit = (29 * f) // 5 + _g_stage_bytes(1, f, g_itemsize)
+    cap = max(16, room // unit)
     if width <= cap:
         return width
     # sub-width tiles must be lane-legal in the (rb, pb) vals block:
@@ -75,24 +76,41 @@ def _maybe_pad_p(g, vals, f: int):
 _VMEM_BUDGET = 15 << 20
 
 
+def _g_stage_bytes(pb: int, f: int, g_itemsize: int) -> int:
+    """Storage-dtype staging bytes of the fused kernel's G block.
+
+    bf16 (r2 calibration): ~0.8 double-buffered input blocks ->
+    1.6 B/slot. f32 (r4 recalibration): the r2 fit of 3.2 B/slot
+    under-predicted — the on-TPU parity sweep caught width 1280/f32 at
+    rb=8 compiling to a 17.21 MB stack vs the modeled 13.9 MB
+    (round4_logs/tpu_parity.log), which solves to ~5.7 B/slot, i.e.
+    the f32 path stages ~1.4 buffered copies, not 0.8. Kept as a
+    per-itemsize fit so the three r2 bf16/f32 anchor points and the r4
+    point all hold."""
+    if g_itemsize >= 4:
+        return (57 * pb * f * g_itemsize) // 40
+    return (4 * pb * f * g_itemsize) // 5
+
+
 def _per_row_bytes(pb: int, f: int, g_itemsize: int) -> int:
     """Empirical per-row VMEM footprint of the fused kernel (v5e).
 
-    Calibrated on three measured compile-time OOM stack sizes of earlier
-    sizings: width 240/f32/rb 32 -> 16.31 MB (~510 KB/row), width 16/
-    bf16/rb 64 -> 16.42 MB (~257 KB/row), width 1920/bf16/rb 8 ->
-    16.08 MB (~2.01 MB/row). All three solve to
+    Calibrated on measured compile-time OOM stack sizes: width 240/
+    f32/rb 32 -> 16.31 MB (~510 KB/row), width 16/bf16/rb 64 ->
+    16.42 MB (~257 KB/row), width 1920/bf16/rb 8 -> 16.08 MB
+    (~2.01 MB/row), width 1280/f32/rb 8 -> 17.21 MB (~2.15 MB/row,
+    r4 parity sweep). Shape:
 
-        bytes/row = (5.8 + 0.8*itemsize) * pb * f  +  ~248 KB
+        bytes/row = 5.8 * pb * f  +  _g_stage_bytes  +  ~248 KB
 
     i.e. ~1.5 f32 copies of the G block (the vals*G broadcast temporary
-    for the b accumulation + dot staging) + ~0.8 double-buffered input
+    for the b accumulation + dot staging) + double-buffered input
     blocks in storage dtype + a *constant* ~4 A-sized f32 buffers (A
     scratch, regularized copy, CG matvec broadcast temp, out staging).
     Earlier models missed the dtype-independent f32 copies and the
     constant term, which is why wide-f32, narrow-bf16 AND wide-bf16
     chunks each blew the 16 MB limit in different ways."""
-    return (29 * pb * f) // 5 + (4 * pb * f * g_itemsize) // 5 \
+    return (29 * pb * f) // 5 + _g_stage_bytes(pb, f, g_itemsize) \
         + 16 * f * f + 32 * f
 
 
@@ -702,7 +720,7 @@ def _per_row_bytes_wide(pb: int, f2: int, g_itemsize: int) -> int:
     fphys = 256
     f2pad = -(-f2 // 128) * 128
     a_elems = 128 * 128 + 128 * f2pad + f2 * f2pad
-    return (29 * pb * fphys) // 5 + (4 * pb * fphys * g_itemsize) // 5 \
+    return (29 * pb * fphys) // 5 + _g_stage_bytes(pb, fphys, g_itemsize) \
         + 16 * a_elems + 32 * fphys
 
 

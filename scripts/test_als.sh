@@ -16,7 +16,11 @@ LAMBDA=${6:-0.05}
 OUTDIR=${7:-./als_sweep_logs}
 shift $(( $# > 7 ? 7 : $# ))
 mkdir -p "$OUTDIR"
-for F in 10 20 30 40 50 60 70 80 90 100 110 120 130 140 150 160 170 180 190 200; do
+# Informative-first order: tier edges and the cliff probe (F=130)
+# before the interior fill-in, so a session cut short still lands the
+# points that decide the VERDICT criteria (sweep_steady.py sorts the
+# final table by F regardless).
+for F in 10 130 100 200 60 160 40 120 80 140 20 180 30 50 70 90 110 150 170 190; do
     echo "=== F=$F ==="
     python -m cumf_als_tpu.cli "$M" "$N" "$F" "$NNZ" "$NNZ_TEST" \
         "$LAMBDA" 1 1 "$DATA_DIR" "$@" > "$OUTDIR/F_$F.log" 2>&1 || true
