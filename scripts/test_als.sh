@@ -21,6 +21,14 @@ mkdir -p "$OUTDIR"
 # points that decide the VERDICT criteria (sweep_steady.py sorts the
 # final table by F regardless).
 for F in 10 130 100 200 60 160 40 120 80 140 20 180 30 50 70 90 110 150 170 190; do
+    # SKIP_DONE=1 resumes a cut-short sweep: a point whose log already
+    # reached its final test-RMSE line is not re-run.
+    if [[ "${SKIP_DONE:-0}" == "1" && -f "$OUTDIR/F_$F.log" ]] \
+        && grep -q "Test RMSE in iter" "$OUTDIR/F_$F.log" \
+        && [[ $(grep -c "update theta run" "$OUTDIR/F_$F.log") -ge 4 ]]; then
+        echo "=== F=$F (already complete, skipped) ==="
+        continue
+    fi
     echo "=== F=$F ==="
     python -m cumf_als_tpu.cli "$M" "$N" "$F" "$NNZ" "$NNZ_TEST" \
         "$LAMBDA" 1 1 "$DATA_DIR" "$@" > "$OUTDIR/F_$F.log" 2>&1 || true
