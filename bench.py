@@ -34,7 +34,19 @@ import numpy as np
 # without a debugger on this box.
 faulthandler.register(signal.SIGUSR1, all_threads=True)
 
-BASELINE_SEC_PER_ITER = 1.0  # cuMF on P100, Netflix F=100 (see docstring)
+# cuMF on P100, Netflix F=100 (see docstring): ~1.0 s/iter over
+# 99,072,112 ratings. Per-workload bars scale this by nonzero count
+# (cuMF's per-iteration cost at fixed F is nnz-proportional: both the
+# Gram kernel grid, als.cu:804, and the solver batch sizes scale with
+# the rating mass), so vs_baseline compares every workload against the
+# same per-chip per-rating bar instead of dividing Yahoo/ml10m times by
+# the Netflix absolute (VERDICT r4 #7). --scale is handled implicitly:
+# the bar derives from the actual train.nnz of the run.
+BASELINE_NS_PER_NNZ = 1.0e9 / 99_072_112  # ~10.09 ns per rating per iter
+
+
+def baseline_sec_per_iter(nnz: int) -> float:
+    return BASELINE_NS_PER_NNZ * nnz / 1e9
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
@@ -284,7 +296,11 @@ def main() -> int:
         "metric": f"{args.workload}_f{args.f}_sec_per_iter",
         "value": round(sec_per_iter, 4),
         "unit": "s/iter",
-        "vs_baseline": round(BASELINE_SEC_PER_ITER / sec_per_iter, 3),
+        "vs_baseline": round(
+            baseline_sec_per_iter(train.nnz) / sec_per_iter, 3),
+        "baseline_sec_per_iter": round(
+            baseline_sec_per_iter(train.nnz), 4),
+        "ns_per_nnz": round(sec_per_iter * 1e9 / max(1, train.nnz), 2),
         "test_rmse_final": round(res.history[-1].test_rmse, 5),
         "train_rmse_final": round(res.history[-1].train_rmse, 5),
         "total_seconds": round(total, 2),

@@ -21,11 +21,14 @@ mkdir -p "$OUTDIR"
 # points that decide the VERDICT criteria (sweep_steady.py sorts the
 # final table by F regardless).
 for F in 10 130 100 200 60 160 40 120 80 140 20 180 30 50 70 90 110 150 170 190; do
-    # SKIP_DONE=1 resumes a cut-short sweep: a point whose log already
-    # reached its final test-RMSE line is not re-run.
+    # SKIP_DONE=1 resumes a cut-short sweep: a point is only skipped
+    # when its log carries the unambiguous completion marker the CLI
+    # prints after the final iteration (ADVICE r4: counting phase
+    # lines mis-skipped runs killed in their last iteration and broke
+    # for non-default --iters).
     if [[ "${SKIP_DONE:-0}" == "1" && -f "$OUTDIR/F_$F.log" ]] \
         && grep -q "Test RMSE in iter" "$OUTDIR/F_$F.log" \
-        && [[ $(grep -c "update theta run" "$OUTDIR/F_$F.log") -ge 4 ]]; then
+        && grep -q "ALS Done." "$OUTDIR/F_$F.log"; then
         echo "=== F=$F (already complete, skipped) ==="
         continue
     fi

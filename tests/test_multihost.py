@@ -15,6 +15,10 @@ import sys
 
 import pytest
 
+# Heavy mesh tests: minutes each on a 1-CPU host (VERDICT r4 #9) —
+# excluded from the fast gate; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = os.path.join(_REPO, "scripts", "multihost_worker.py")
 

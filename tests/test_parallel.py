@@ -6,6 +6,10 @@ import jax
 import numpy as np
 import pytest
 
+# Heavy mesh tests: minutes each on a 1-CPU host (VERDICT r4 #9) —
+# excluded from the fast gate; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from cumf_als_tpu.config import ALSConfig
 from cumf_als_tpu.data.synthetic import init_factors
 from cumf_als_tpu.models.als import do_als
