@@ -60,7 +60,10 @@ def test_both_sides_big_prefers_direct_when_fused(medium_problem,
     assert model._phase_strategy(train) == "batched_panel"
 
 
-@pytest.mark.parametrize("solver", ["cholesky", "cg"])
+@pytest.mark.parametrize("solver", [
+    # batched Cholesky on CPU is minutes-scale; the cg param keeps the
+    # path covered in the fast gate (VERDICT r4 #9)
+    pytest.param("cholesky", marks=pytest.mark.slow), "cg"])
 def test_batched_panel_matches_direct(medium_problem, solver):
     train, test = medium_problem
     base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,

@@ -34,7 +34,10 @@ def test_panel_plan_covers_all(small_problem):
         assert got == ref, i
 
 
-@pytest.mark.parametrize("solver", ["cholesky", "cg"])
+@pytest.mark.parametrize("solver", [
+    # batched Cholesky on CPU is minutes-scale; the cg param keeps the
+    # path covered in the fast gate (VERDICT r4 #9)
+    pytest.param("cholesky", marks=pytest.mark.slow), "cg"])
 def test_panel_matches_direct(medium_problem, solver):
     train, test = medium_problem
     base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,

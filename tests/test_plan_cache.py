@@ -253,6 +253,7 @@ class TestPanelFusedRMSE:
         for a, b in zip(res_d.history, res_f.history):
             assert a.train_rmse == pytest.approx(b.train_rmse, rel=1e-3)
 
+    @pytest.mark.slow  # ~2 min on one CPU: out of the fast gate (VERDICT r4 #9)
     def test_fused_matches_direct_batched_panel(self, medium_problem):
         train, test = medium_problem
         x0, th0 = init_factors(train.num_rows, train.num_cols, 16, seed=2)
