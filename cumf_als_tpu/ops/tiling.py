@@ -582,11 +582,21 @@ def build_split_plan(
 
     nonempty = np.nonzero(row_nnz > 0)[0]
     bucket_of = np.searchsorted(widths, row_nnz[nonempty])
-    # within a bucket: descending part-0 count, so consecutive chunk
-    # rows have similar per-part splits (tight chunk maxima)
-    sort_key = bucket_of.astype(np.int64) * (nnz_total + 1) \
-        - h[nonempty, 0]
-    o = np.argsort(sort_key, kind="stable")
+    # Within a bucket, order rows by their QUANTIZED per-part width
+    # profile (lexicographic over parts), so each chunk spans rows
+    # whose per-part maxima coincide with their own quantized widths.
+    # The r4 ordering (descending part-0 count alone) left the tail
+    # parts' chunk maxima dominated by profile outliers — measured on
+    # Yahoo X-phase: 19.8% of all padded slots were chunk-max padding
+    # vs 6.0% quantization (round5_logs/split_decompose_x.jsonl);
+    # profile ordering collapses the chunk-max term to ~the
+    # quantization term.
+    nw = len(warr)
+    qidx = np.minimum(np.searchsorted(warr, h[nonempty]), nw - 1)
+    qidx = np.where(h[nonempty] > 0, qidx + 1, 0).astype(np.int32)
+    # lexsort: last key is primary — bucket first, then parts 0..p-1
+    o = np.lexsort(tuple(qidx[:, k] for k in range(n_parts - 1, -1, -1))
+                   + (bucket_of,))
     nonempty, bucket_of = nonempty[o], bucket_of[o]
 
     local_sorted = local_flat[order]

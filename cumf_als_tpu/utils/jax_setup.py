@@ -25,6 +25,13 @@ def setup_jax(cache_dir: str | None = None) -> None:
         "CUMF_ALS_TPU_CACHE", os.path.expanduser("~/.cache/cumf_als_tpu"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        # Persist EVERY compile, including sub-0.3s ones: through the
+        # axon tunnel each remote compile is a liability (r5: the
+        # remote compile helper wedged mid-session and even
+        # fully-warmed benches hung on tiny uncached programs), and a
+        # fast-compiling program is exactly the one whose cache entry
+        # costs nothing to store.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
     except Exception:
         pass  # older jax without the flag: non-fatal

@@ -25,7 +25,8 @@ from cumf_als_tpu.ops.tiling import (BatchedPanelPlan, PanelChunk,
                                      SplitChunk, SplitPlan, UpdatePlan)
 from cumf_als_tpu.utils.io import CSRMatrix
 
-_VERSION = 3  # bump when the serialized layout or plan semantics change
+_VERSION = 4  # bump when the serialized layout or plan semantics change
+# v4 (r5): SplitPlan profile-ordered rows (chunk-max padding fix)
 
 
 def dataset_fingerprint(csr: CSRMatrix) -> str:

@@ -72,6 +72,27 @@ def main(argv=None) -> int:
     print(f"[hugewiki] devices: {jax.devices()}", file=sys.stderr,
           flush=True)
 
+    # Recompile classification (VERDICT r4 #5): every XLA compile is
+    # logged with a timestamp; compiles after the in-loop marker are
+    # counted and reported so an iteration-time spike can be attributed
+    # to a recompile vs a tunnel/transfer stall instead of guessed at.
+    compile_log: list = []
+    try:
+        import logging
+
+        class _CompileCounter(logging.Handler):
+            def emit(self, record):
+                compile_log.append((time.monotonic(),
+                                    record.getMessage()[:120]))
+
+        jax.config.update("jax_log_compiles", True)
+        logging.getLogger("jax._src.dispatch").addHandler(
+            _CompileCounter())
+        logging.getLogger("jax._src.interpreters.pxla").addHandler(
+            _CompileCounter())
+    except Exception:
+        pass
+
     import bench
     t0 = time.monotonic()
     train, test = bench.load_workload("hugewiki", args.scale)
@@ -171,6 +192,9 @@ def main(argv=None) -> int:
              "test_rmse": round(h.test_rmse, 5),
              "iter_seconds": round(iter_s, 1),
              "plan_seconds": round(plan_s, 1),
+             # with a warmed persistent cache this must be 0; a nonzero
+             # count explains (and indicts) an iteration-time spike
+             "n_compiles": len(compile_log),
              "rss_gb": round(rss_gb(), 1)})
         st["next_iter"] = it + 1
         with open(st_path + ".tmp", "w") as fh:
@@ -185,6 +209,11 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     res = model.run(x0, th0)
     total = time.monotonic() - t0
+    # classify in-loop recompiles: compiles stamped after iteration 0's
+    # combined phase time has elapsed ran inside the timed steady loop
+    iter0_end = t0 + (res.history[0].x_seconds +
+                      res.history[0].theta_seconds if res.history else 0)
+    in_loop = [m for (ts, m) in compile_log if ts > iter0_end]
 
     out = {
         "metric": "hugewiki_f%d_sec_per_iter" % args.f,
@@ -200,6 +229,9 @@ def main(argv=None) -> int:
         "train_rmse": [round(h.train_rmse, 5) for h in res.history],
         "test_rmse": [round(h.test_rmse, 5) for h in res.history],
         "rss_gb": round(rss_gb(), 1),
+        "n_compiles": len(compile_log),
+        "n_compiles_in_loop": len(in_loop),
+        "in_loop_compiles": in_loop[:8],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out), flush=True)
