@@ -532,6 +532,81 @@ class SplitPlan:
         return self.padded_nnz / max(1, self.true_nnz)
 
 
+def _merge_tuple_groups(raw_groups, grid_w, max_groups: int):
+    """Greedy min-cost merging of lexicographically adjacent width-tuple
+    groups: (a) until the group count (one compiled program family per
+    group) is at most max_groups, and (b) beyond that whenever a merge
+    SAVES padding — merging two groups pads every row to the
+    elementwise-max tuple, but NOT merging pays each group's ragged
+    chunk tail (8-row minimum + mantissa rounding), which dominates for
+    the long tail of tiny tuple groups (measured 6.3x expansion on a
+    300-row problem with no merging at all).
+
+    raw_groups: [(lo, hi, widx)] over the lex-sorted row order, widx the
+    per-part width-grid INDEX tuple (0 = part unused). Returns
+    [(lo, hi, per-part grid widths)].
+    """
+    import heapq
+
+    n = len(raw_groups)
+    if n == 0:
+        return []
+    lo = [g[0] for g in raw_groups]
+    hi = [g[1] for g in raw_groups]
+    wid = [g[2] for g in raw_groups]
+    rows = [h - l for l, h in zip(lo, hi)]
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    ver = [0] * n
+
+    def wsum(i):
+        return int(grid_w(wid[i]).sum())
+
+    def ragged(r, s):
+        # padding the ragged chunk tail costs: dummy rows up to the
+        # 8-row floor plus ~6% mantissa rounding of one chunk
+        return (max(8, -(-r // 8) * 8) - r) * s + (s * min(r, 128)) // 16
+
+    def cost(i, j):
+        wm = np.maximum(wid[i], wid[j])
+        sm = int(grid_w(wm).sum())
+        merge_pad = rows[i] * (sm - wsum(i)) + rows[j] * (sm - wsum(j))
+        save = ragged(rows[i], wsum(i)) + ragged(rows[j], wsum(j)) \
+            - ragged(rows[i] + rows[j], sm)
+        return merge_pad - save
+
+    heap = []
+    for i in range(n - 1):
+        heapq.heappush(heap, (cost(i, i + 1), ver[i], ver[i + 1], i,
+                              i + 1))
+    count = n
+    while heap:
+        c, vi, vj, i, j = heapq.heappop(heap)
+        if not (alive[i] and alive[j]) or ver[i] != vi or ver[j] != vj \
+                or nxt[i] != j:
+            continue
+        if c >= 0 and count <= max_groups:
+            break
+        # merge j into i
+        wid[i] = np.maximum(wid[i], wid[j])
+        hi[i] = hi[j]
+        rows[i] += rows[j]
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[i] >= 0:
+            prv[nxt[i]] = i
+        ver[i] += 1
+        count -= 1
+        if prv[i] >= 0:
+            heapq.heappush(heap, (cost(prv[i], i), ver[prv[i]], ver[i],
+                                  prv[i], i))
+        if nxt[i] >= 0:
+            heapq.heappush(heap, (cost(i, nxt[i]), ver[i], ver[nxt[i]],
+                                  i, nxt[i]))
+    return [(lo[i], hi[i], grid_w(wid[i])) for i in range(n) if alive[i]]
+
+
 def build_split_plan(
     csr: CSRMatrix,
     part_size: int,
@@ -541,12 +616,12 @@ def build_split_plan(
     chunk_rows: int = 1 << 14,
     octave_points: int = 8,
     by_popularity: bool = True,
+    max_groups: int = 96,
 ) -> SplitPlan:
-    """Bucket rows by total nnz (the direct plan's width grid), order
-    rows within a bucket by their part-0 count so chunk-level per-part
-    maxima stay tight, and materialize per-chunk per-part padded column
-    blocks. Per-part widths are quantized to the same width grid (or 0)
-    to bound the compiled-shape count."""
+    """Group rows by their quantized per-part width tuple (see the
+    grouping comment below) and materialize per-chunk per-part padded
+    column blocks; small tuple groups promote forward to bound the
+    compiled-shape count."""
     m, n = csr.num_rows, csr.num_cols
     row_nnz = np.diff(csr.indptr).astype(np.int64)
     nnz_total = int(row_nnz.sum())
@@ -580,48 +655,58 @@ def build_split_plan(
                              octave_points=octave_points)
     warr = np.asarray(widths, np.int64)
 
+    # Group rows by their QUANTIZED per-part width tuple, so every row
+    # in a group pads each part to ITS OWN quantized width — the
+    # chunk-max padding term vanishes by construction. The r4 scheme
+    # (bucket by total nnz, order by part-0 count, pad each part to the
+    # chunk max) measured 19.8% of all padded slots as chunk-max
+    # padding vs 6.0% quantization on Yahoo's X phase
+    # (round5_logs/split_decompose_x*.jsonl); tuple grouping removes
+    # the former and leaves only quantization + ragged tails. Groups
+    # smaller than min_group_rows merge forward into the next group in
+    # lexicographic tuple order (elementwise-max widths), bounding the
+    # compiled-shape count the way the batched-panel promotion does.
     nonempty = np.nonzero(row_nnz > 0)[0]
-    bucket_of = np.searchsorted(widths, row_nnz[nonempty])
-    # Within a bucket, order rows by their QUANTIZED per-part width
-    # profile (lexicographic over parts), so each chunk spans rows
-    # whose per-part maxima coincide with their own quantized widths.
-    # The r4 ordering (descending part-0 count alone) left the tail
-    # parts' chunk maxima dominated by profile outliers — measured on
-    # Yahoo X-phase: 19.8% of all padded slots were chunk-max padding
-    # vs 6.0% quantization (round5_logs/split_decompose_x.jsonl);
-    # profile ordering collapses the chunk-max term to ~the
-    # quantization term.
     nw = len(warr)
     qidx = np.minimum(np.searchsorted(warr, h[nonempty]), nw - 1)
     qidx = np.where(h[nonempty] > 0, qidx + 1, 0).astype(np.int32)
-    # lexsort: last key is primary — bucket first, then parts 0..p-1
-    o = np.lexsort(tuple(qidx[:, k] for k in range(n_parts - 1, -1, -1))
-                   + (bucket_of,))
-    nonempty, bucket_of = nonempty[o], bucket_of[o]
+    o = np.lexsort(tuple(qidx[:, k]
+                         for k in range(n_parts - 1, -1, -1)))
+    nonempty = nonempty[o]
+    q_sorted = qidx[o]
 
     local_sorted = local_flat[order]
     vals_sorted = np.asarray(csr.data, np.float32)[order]
 
+    if nonempty.size:
+        change = np.any(q_sorted[1:] != q_sorted[:-1], axis=1)
+        bounds = np.concatenate([[0], np.flatnonzero(change) + 1,
+                                 [nonempty.size]])
+    else:
+        bounds = np.asarray([0, 0])
+    def _grid_w(widx):
+        return np.where(widx > 0, warr[np.maximum(widx - 1, 0)], 0)
+
+    groups = _merge_tuple_groups(
+        [(int(bounds[i]), int(bounds[i + 1]),
+          q_sorted[int(bounds[i])].copy())
+         for i in range(len(bounds) - 1)
+         if bounds[i] < bounds[i + 1]],
+        _grid_w, max_groups)
+
     chunks: List[SplitChunk] = []
     padded_total = 0
-    starts = np.searchsorted(bucket_of, np.arange(len(widths) + 1))
-    for b, width in enumerate(widths):
-        rows_b = nonempty[starts[b]:starts[b + 1]]
-        if rows_b.size == 0:
-            continue
+    for g_lo, g_hi, wq in groups:
+        rows_g = nonempty[g_lo:g_hi]
+        width = int(wq.sum())
         rows_per_chunk = _rows_per_chunk(width, chunk_nnz, chunk_rows)
-        for lo in range(0, rows_b.size, rows_per_chunk):
-            rows_c = rows_b[lo:lo + rows_per_chunk]
+        inc = np.nonzero(wq)[0]
+        for lo in range(0, rows_g.size, rows_per_chunk):
+            rows_c = rows_g[lo:lo + rows_per_chunk]
             r = rows_c.size
             r_pad = rows_per_chunk if r == rows_per_chunk else \
                 _round_rows(r, rows_per_chunk)
             hc = h[rows_c]                       # (r, n_parts)
-            wmax = hc.max(axis=0)
-            # quantize per-part widths to the grid (0 drops the part)
-            wq = np.where(wmax > 0,
-                          warr[np.minimum(np.searchsorted(warr, wmax),
-                                          len(warr) - 1)], 0)
-            inc = np.nonzero(wq)[0]
             cols_parts, vals_parts = [], []
             rows_out = np.full(r_pad, m, np.int32)
             rows_out[:r] = rows_c
