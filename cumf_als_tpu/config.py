@@ -144,6 +144,12 @@ class ALSConfig:
     # slice overhead exceeded its gather gain), while 160 MB and 256 MB
     # tables ran ~44% faster split (yahoo 8.04 -> 4.49 s/iter).
     split_min_table_bytes: int = 128 << 20
+    # SplitPlan group budget: rows sharing a quantized per-part width
+    # tuple form a group (one compiled program family each); the greedy
+    # merger folds the tail of tiny groups into their lex neighbors
+    # until at most this many remain (r5 — yahoo X-phase expansion
+    # 1.28 -> 1.18 at ~137 shapes; 160 groups reach 1.14 at ~190).
+    split_max_groups: int = 96
     # Two-block wide-F kernel (128 < F <= 256): measured SLOWER than
     # the monolithic 256-lane kernel on v5e (three 128-wide MXU output
     # tiles pipeline at ~11 TF/s vs ~21 for one 256-wide tile) — kept

@@ -417,7 +417,8 @@ class ALS:
                           max_width=cfg.max_bucket_width,
                           chunk_nnz=chunk_nnz,
                           chunk_rows=cfg.chunk_rows,
-                          octave_points=cfg.octave_points)
+                          octave_points=cfg.octave_points,
+                          max_groups=cfg.split_max_groups)
             plan = cached_build(
                 cfg.plan_cache_dir, "split", csr, params,
                 lambda: build_split_plan(csr, **params))
