@@ -216,6 +216,9 @@ def main() -> int:
                    help="run the sharded (SPMD) path over N devices")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
+    p.add_argument("--debug-timing", action="store_true",
+                   help="per-phase device-synced timing lines (the "
+                        "reference's DEBUG printf contract)")
     p.add_argument("--repeat", type=int, default=1,
                    help="run the training loop N times and report the "
                         "median per-iteration time across runs plus the "
@@ -263,7 +266,7 @@ def main() -> int:
                     plan_cache_dir=(None if args.no_plan_cache else
                                     os.path.join(CACHE_DIR, "plans")),
                     train_rmse_method="fused", verbose=False,
-                    debug_timing=False)
+                    debug_timing=args.debug_timing)
     t0 = time.monotonic()
     if args.mesh and args.out_of_core:
         from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS

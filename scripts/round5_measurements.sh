@@ -7,6 +7,34 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 OUT=round5_logs
 mkdir -p "$OUT"
+# Every XLA compile logged to stderr: cache misses at measurement time
+# are visible (and each one is a remote-compile round trip worth
+# knowing about on this tunnel).
+export JAX_LOG_COMPILES=1
+
+# Gate on a healthy remote-compile path: the tunnel's compile helper
+# wedges after a Mosaic crash (r5 operational note) and recovers on its
+# own (~2h observed); a measurement run launched against a wedged
+# helper burns its whole timeout budget. Probe with a tiny fresh-shape
+# compile until it goes through.
+probe() {
+    timeout 200 python - <<'EOF' > /dev/null 2>&1
+import sys, time
+sys.path.insert(0, ".")
+from cumf_als_tpu.utils.jax_setup import setup_jax
+setup_jax()
+import jax, jax.numpy as jnp
+x = jnp.ones((17, int(time.time()) % 97 + 131))
+jax.jit(lambda a: (a @ a.T).sum())(x).block_until_ready()
+EOF
+}
+until probe; do
+    echo "compile path wedged; sleeping 600s ($(date +%H:%M:%S))" \
+        | tee -a "$OUT/summary_run.log"
+    sleep 600
+done
+echo "compile path healthy ($(date +%H:%M:%S))" \
+    | tee -a "$OUT/summary_run.log"
 
 run() {
     local name=$1 tmo=$2; shift 2

@@ -209,3 +209,50 @@ class TestSplitRouting:
         monkeypatch.setattr(ps, "fused_available", lambda: False)
         model.cfg = ALSConfig(**base)
         assert model._phase_strategy(train) == "batched_panel"
+
+
+class TestTupleGroupMerge:
+    def test_merge_bounds_group_count(self):
+        import numpy as np
+        from cumf_als_tpu.ops.tiling import _merge_tuple_groups
+        warr = np.asarray([8, 16, 32, 64], np.int64)
+
+        def grid_w(widx):
+            return np.where(widx > 0, warr[np.maximum(widx - 1, 0)], 0)
+
+        # 40 tiny adjacent groups with slightly varying tuples
+        raw = []
+        lo = 0
+        rng = np.random.RandomState(0)
+        for i in range(40):
+            r = int(rng.randint(1, 4))
+            widx = np.asarray([1 + (i % 3), (i // 3) % 2, 0], np.int32)
+            raw.append((lo, lo + r, widx))
+            lo += r
+        groups = _merge_tuple_groups(raw, grid_w, max_groups=6)
+        assert len(groups) <= 6 + 4  # negative-cost merges may stop early
+        # coverage: contiguous, complete
+        assert groups[0][0] == 0
+        for (a, b, _), (c, d, _) in zip(groups, groups[1:]):
+            assert b == c
+        assert groups[-1][1] == lo
+        # widths dominate every member tuple
+        for glo, ghi, w in groups:
+            for rlo, rhi, widx in raw:
+                if rlo >= glo and rhi <= ghi:
+                    assert np.all(w >= grid_w(widx))
+
+    def test_merge_noop_when_groups_large(self):
+        import numpy as np
+        from cumf_als_tpu.ops.tiling import _merge_tuple_groups
+        warr = np.asarray([8, 16, 32], np.int64)
+
+        def grid_w(widx):
+            return np.where(widx > 0, warr[np.maximum(widx - 1, 0)], 0)
+
+        raw = [(0, 5000, np.asarray([1, 0], np.int32)),
+               (5000, 9000, np.asarray([3, 1], np.int32))]
+        groups = _merge_tuple_groups(raw, grid_w, max_groups=8)
+        # two big dissimilar groups: merging would pad 5000 rows 4x —
+        # must stay separate
+        assert len(groups) == 2
