@@ -216,6 +216,10 @@ def main() -> int:
                    help="run the sharded (SPMD) path over N devices")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) for smoke runs")
+    p.add_argument("--panel-size", type=int, default=None,
+                   help="override ALSConfig.panel_size (gather-table "
+                        "panel rows; engages the panel path when the "
+                        "table exceeds it)")
     p.add_argument("--debug-timing", action="store_true",
                    help="per-phase device-synced timing lines (the "
                         "reference's DEBUG printf contract)")
@@ -266,7 +270,9 @@ def main() -> int:
                     plan_cache_dir=(None if args.no_plan_cache else
                                     os.path.join(CACHE_DIR, "plans")),
                     train_rmse_method="fused", verbose=False,
-                    debug_timing=args.debug_timing)
+                    debug_timing=args.debug_timing,
+                    **({"panel_size": args.panel_size}
+                       if args.panel_size else {}))
     t0 = time.monotonic()
     if args.mesh and args.out_of_core:
         from cumf_als_tpu.parallel.sharded_ooc import ShardedOutOfCoreALS
