@@ -28,6 +28,7 @@ def hugewiki_main(tmp_path, monkeypatch):
     return mod.main
 
 
+@pytest.mark.slow  # ~20s CPU: resume-equivalence is slow-gate coverage
 def test_state_dir_matches_single_process(hugewiki_main, tmp_path,
                                           capsys):
     scale, iters = 0.0002, 2

@@ -112,6 +112,7 @@ def test_stream_cache_roundtrip(tmp_path):
     assert not StreamCache(str(tmp_path), "k2").ready
 
 
+@pytest.mark.slow  # ~13s CPU
 def test_stream_cache_used_by_lazy_sharded_ooc(tmp_path, monkeypatch):
     """Lazy sharded-OOC runs persist their compacted streams and
     produce identical trajectories when re-run from the cache."""

@@ -123,6 +123,7 @@ class TestSynthGenerator:
         np.testing.assert_allclose(a_train.data, b_train.data)
         np.testing.assert_array_equal(a_test.col, b_test.col)
 
+    @pytest.mark.slow  # ~19s CPU e2e on generated data
     def test_als_converges_on_native_data(self):
         from cumf_als_tpu.config import ALSConfig
         from cumf_als_tpu.data.synthetic import init_factors

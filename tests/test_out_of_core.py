@@ -11,7 +11,8 @@ from cumf_als_tpu.models.als import do_als
 from cumf_als_tpu.models.out_of_core import OutOfCoreALS
 
 
-@pytest.mark.parametrize("solver", ["cholesky", "cg"])
+@pytest.mark.parametrize("solver", [
+    pytest.param("cholesky", marks=pytest.mark.slow), "cg"])
 def test_ooc_matches_in_memory(medium_problem, solver):
     train, test = medium_problem
     base = dict(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
