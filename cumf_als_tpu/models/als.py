@@ -11,6 +11,7 @@ als.cu:768, 881) maps to the bucketed chunk plans of ops/tiling.py.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from functools import partial
 from typing import List, Optional
 
@@ -376,6 +377,30 @@ class ALS:
             return "batched_panel"
         return "direct"
 
+    # bf16 partial-Gram accumulators swamp under deep scatter-add
+    # chains: past ~16 partials per row, late adds round away and the
+    # train-RMSE identity can go negative/NaN (first observed at
+    # hugewiki scale on the sharded path — ShardedOutOfCoreALS has the
+    # same guard; r5 found the plain panel paths hit it too, e.g.
+    # hugewiki scale-0.1 theta rows touch ~77 panels and NaN'd at
+    # iteration 3). Netflix-class plans (~1-8 partials) keep the bf16
+    # win (test-RMSE delta 1.5e-4).
+    BF16_ACCUM_MAX_DEPTH = 16
+
+    def _accum_dtype(self, total_row_slots: int, num_rows: int):
+        if self.cfg.gram_dtype != "bf16":
+            return jnp.float32
+        depth = total_row_slots / max(1, num_rows)
+        if depth <= self.BF16_ACCUM_MAX_DEPTH:
+            return jnp.bfloat16
+        if not getattr(self, "_warned_promote", False):
+            self._warned_promote = True
+            print(f"[als] ~{depth:.0f} partial adds per accumulator "
+                  f"row > {self.BF16_ACCUM_MAX_DEPTH}: promoting Gram "
+                  f"accumulators bf16 -> f32 (swamping guard)",
+                  file=sys.stderr, flush=True)
+        return jnp.float32
+
     def _batch_rows(self) -> int:
         """Row-batch size of the batched-panel path (see
         ALSConfig.batch_rows)."""
@@ -544,7 +569,9 @@ class ALS:
             table, ((0, n_panels * s - table.shape[0]), (0, 0)))
         first_batch = True
         bsz = plan.batch_rows
-        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        a_dtype = self._accum_dtype(
+            sum(c.rows.shape[0] for b in plan.batches
+                for c in b.plan.chunks), plan.num_rows)
         aug = self._use_panel_aug()
         se_parts = []
         for gids, row_nnz, chunks in aux["batches"]:
@@ -653,7 +680,8 @@ class ALS:
                 return _slice_panel(table_pad,
                                     jnp.asarray(p * s, jnp.int32), s)
         m, m_pad = plan.num_rows, aux["m_pad"]
-        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" else jnp.float32
+        a_dtype = self._accum_dtype(
+            sum(c.rows.shape[0] for c in chunks), plan.num_rows)
         aug = self._use_panel_aug()
         a_buf = jnp.zeros((m_pad, f, f), a_dtype)
         b_buf = None if aug else jnp.zeros((m_pad, f), jnp.float32)
