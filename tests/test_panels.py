@@ -57,3 +57,32 @@ def test_panel_matches_direct(medium_problem, solver):
         assert b.train_rmse == pytest.approx(a.train_rmse, abs=1e-3)
         assert b.test_rmse == pytest.approx(a.test_rmse, abs=2e-3)
     np.testing.assert_allclose(res.x, direct.x, rtol=2e-2, atol=2e-2)
+
+
+def test_deep_panel_bf16_accumulators_promote_to_f32(capsys):
+    """Deep scatter-add chains swamp bf16 accumulators (hugewiki-0.1
+    theta rows touch ~77 panels; plain ALS NaN'd at iteration 3 before
+    the r5 guard). A plan whose rows average > BF16_ACCUM_MAX_DEPTH
+    partial adds must promote the Gram accumulator to f32 and converge
+    finitely."""
+    import numpy as np
+    from cumf_als_tpu.config import ALSConfig
+    from cumf_als_tpu.data.synthetic import init_factors, synthetic_ratings
+    from cumf_als_tpu.models.als import ALS
+
+    # few fat rows over many columns + tiny panels -> deep accumulation
+    train, test = synthetic_ratings(m=24, n=2400, nnz=12000, nnz_test=800,
+                                    rank=4, noise=0.1, seed=11)
+    cfg = ALSConfig(m=train.num_rows, n=train.num_cols, f=16, lam=0.05,
+                    iters=3, solver="cg", gram_dtype="bf16",
+                    panel_size=64, split_width=64, verbose=False,
+                    train_rmse_method="fused")
+    model = ALS(cfg, train, None, test)
+    a_dtype = model._accum_dtype(
+        sum(c.rows.shape[0] for c in model.plan_x[1]),
+        model.plan_x[0].num_rows)
+    import jax.numpy as jnp
+    assert a_dtype == jnp.float32  # promoted
+    x0, th0 = init_factors(cfg.m, cfg.n, cfg.f, seed=1)
+    res = model.run(x0, th0)
+    assert np.isfinite([h.train_rmse for h in res.history]).all()
