@@ -82,8 +82,11 @@ def main(argv=None) -> int:
 
         class _CompileCounter(logging.Handler):
             def emit(self, record):
-                compile_log.append((time.monotonic(),
-                                    record.getMessage()[:120]))
+                msg = record.getMessage()
+                # count genuine backend compilations only — tracing and
+                # lowering happen every process even on full cache hits
+                if "Finished XLA compilation" in msg:
+                    compile_log.append((time.monotonic(), msg[:120]))
 
         jax.config.update("jax_log_compiles", True)
         logging.getLogger("jax._src.dispatch").addHandler(
