@@ -442,8 +442,14 @@ class ShardedALS:
         steps_data, nnz_loc = xp_data
         s, f = self.x_panel_size, cfg.f_pad
         pad_to = self.x_n_panels * s
-        a_dtype = jnp.bfloat16 if cfg.gram_dtype == "bf16" \
-            else jnp.float32
+        # bf16 accumulators swamp past ~16 scatter-adds per row — the
+        # same depth gate as ShardedOutOfCoreALS/models.als (r5: the
+        # plain panel path NaN'd at hugewiki scale without it).
+        depth = sum(int(st.rows.shape[1]) if hasattr(st, "rows")
+                    else int(st._r) for st in self.x_steps) \
+            / max(1, self.row_plan.m_loc)
+        a_dtype = jnp.bfloat16 if (cfg.gram_dtype == "bf16" and
+                                   depth <= 16) else jnp.float32
         if jitted:
             key = ("xp_init", pad_to, aug)
             if key not in self._fn_cache:
