@@ -60,8 +60,36 @@ class ALSResult:
         return np.einsum("ij,ij->i", self.x[rows], self.theta[cols])
 
 
+def _compact_cols(cols: np.ndarray) -> jnp.ndarray:
+    """Device copy of gather indices, stored uint16 when every index
+    (including the zero-extension pad id) fits — halves the
+    device-resident plan's index bytes. XLA's gather takes unsigned
+    indices directly; correctness is unchanged. The hugewiki-class
+    device-resident runs are HBM-bound on plan bytes (scale 0.25 OOM'd
+    at ~13.4 GB of int32+f32 plans, r5)."""
+    if cols.size and int(cols.max()) <= np.iinfo(np.uint16).max:
+        return jnp.asarray(cols.astype(np.uint16))
+    return jnp.asarray(cols)
+
+
+def _compact_vals(vals: np.ndarray) -> jnp.ndarray:
+    """Device copy of the rating values, stored bf16 ONLY when the
+    round-trip is exact — true for every real workload here (star
+    halves 0.5..5 and integer 0..100 grids are exact in bf16's 8-bit
+    mantissa). Lossy inputs keep f32, so numerics never change. All
+    consumers cast to f32 before squaring (fused_sq_err, the Pallas
+    kernels' vblk reads)."""
+    if vals.dtype == np.float32 and vals.size:
+        import ml_dtypes
+        v16 = vals.astype(ml_dtypes.bfloat16)
+        if np.array_equal(np.asarray(v16, np.float32), vals):
+            return jnp.asarray(v16)
+    return jnp.asarray(vals)
+
+
 class DeviceChunk:
-    """A plan chunk's arrays resident on device."""
+    """A plan chunk's arrays resident on device (compacted: uint16
+    gather ids / bf16 values where exact — see _compact_cols/_vals)."""
 
     __slots__ = ("width", "rows", "nnz", "cols", "vals", "panel")
 
@@ -69,14 +97,14 @@ class DeviceChunk:
         self.width = chunk.width
         self.rows = jnp.asarray(chunk.rows)
         self.nnz = jnp.asarray(chunk.nnz)
-        self.cols = jnp.asarray(chunk.cols)
-        self.vals = jnp.asarray(chunk.vals)
+        self.cols = _compact_cols(chunk.cols)
+        self.vals = _compact_vals(chunk.vals)
         self.panel = getattr(chunk, "panel", 0)
 
 
 class DeviceSplitChunk:
     """A SplitChunk's arrays resident on device (cols is a tuple of
-    per-part blocks)."""
+    per-part blocks; compacted like DeviceChunk)."""
 
     __slots__ = ("parts", "widths", "rows", "nnz", "cols", "vals")
 
@@ -85,8 +113,8 @@ class DeviceSplitChunk:
         self.widths = chunk.widths
         self.rows = jnp.asarray(chunk.rows)
         self.nnz = jnp.asarray(chunk.nnz)
-        self.cols = tuple(jnp.asarray(c) for c in chunk.cols)
-        self.vals = jnp.asarray(chunk.vals)
+        self.cols = tuple(_compact_cols(c) for c in chunk.cols)
+        self.vals = _compact_vals(chunk.vals)
 
 
 @partial(jax.jit, static_argnames=("panel_size",))

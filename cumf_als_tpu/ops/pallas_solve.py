@@ -313,7 +313,8 @@ def _kernel(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref, a_scr,
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (R_b, f, f)
-    vblk = vals_ref[...]
+    # vals may arrive bf16 (compact device plans, r5): square in f32
+    vblk = vals_ref[...].astype(jnp.float32)
     b_scr[...] += jnp.sum(vblk[:, :, None] * g, axis=1)
     r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
 
@@ -371,7 +372,7 @@ def _kernel_aug(g_ref, vals_ref, nnz_ref, x0_ref, out_ref, se_ref,
     # the minor-dim insert must happen on the f32 vals (Mosaic only
     # supports non-no-op minor-dim inserts for 32-bit types); the
     # masked product then casts down to the storage dtype
-    g = g + (vals_ref[...][:, :, None] *
+    g = g + (vals_ref[...].astype(jnp.float32)[:, :, None] *
              (lane == f - 1).astype(jnp.float32)).astype(g.dtype)
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -548,7 +549,8 @@ def _gram_kernel(g_ref, vals_ref, a_ref, b_ref, a_scr, b_scr, *,
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    b_scr[...] += jnp.sum(vals_ref[...][:, :, None] * g, axis=1)
+    b_scr[...] += jnp.sum(vals_ref[...].astype(jnp.float32)[:, :, None]
+                          * g, axis=1)
 
     @pl.when(pb == n_p - 1)
     def _():
@@ -624,7 +626,7 @@ def _gram_kernel_aug(g_ref, vals_ref, a_ref, a_scr, *, n_p: int):
     # the minor-dim insert must happen on the f32 vals (Mosaic only
     # supports non-no-op minor-dim inserts for 32-bit types); the
     # masked product then casts down to the storage dtype
-    g = g + (vals_ref[...][:, :, None] *
+    g = g + (vals_ref[...].astype(jnp.float32)[:, :, None] *
              (lane == f - 1).astype(jnp.float32)).astype(g.dtype)
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -829,7 +831,7 @@ def _kernel_wide(g1_ref, g2_ref, vals_ref, nnz_ref, x01_ref, x02_ref,
     a22_scr[...] += jax.lax.dot_general(
         g2, g2, dimension_numbers=dn,
         preferred_element_type=jnp.float32)
-    vblk = vals_ref[...]
+    vblk = vals_ref[...].astype(jnp.float32)
     b1_scr[...] += jnp.sum(vblk[:, :, None] * g1, axis=1)
     b2_scr[...] += jnp.sum(vblk[:, :, None] * g2, axis=1)
     r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
@@ -981,7 +983,7 @@ def _kernel_cat(g1_ref, g2_ref, vals_ref, nnz_ref, x0_ref, out_ref,
     a_scr[...] += jax.lax.dot_general(
         g, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    vblk = vals_ref[...]
+    vblk = vals_ref[...].astype(jnp.float32)
     b_scr[...] += jnp.sum(vblk[:, :, None] * g, axis=1)
     r2_scr[...] += jnp.sum(vblk * vblk, axis=1, keepdims=True)
 

@@ -75,7 +75,8 @@ def fused_sq_err(a, b, vals, nnz, lam, x_new):
     sum r^2 total), not with the global sums.
     """
     xt = x_new.astype(jnp.float32)
-    r2 = jnp.sum(vals * vals, axis=-1)                       # (R,)
+    v32 = vals.astype(jnp.float32)   # vals may arrive bf16 (compact plans)
+    r2 = jnp.sum(v32 * v32, axis=-1)                         # (R,)
     cross = jnp.sum(xt * b, axis=-1)                         # (R,)
     aq = jnp.einsum("rfg,rg->rf", a.astype(jnp.float32), xt,
                     precision=jax.lax.Precision.HIGHEST,

@@ -141,3 +141,25 @@ def test_stream_cache_used_by_lazy_sharded_ooc(tmp_path, monkeypatch):
     for a, b in zip(r1.history, r2.history):
         assert a.train_rmse == b.train_rmse
         assert a.test_rmse == b.test_rmse
+
+
+class TestCompactDevicePlans:
+    def test_cols_uint16_when_fits(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from cumf_als_tpu.models.als import _compact_cols, _compact_vals
+        small = np.asarray([[0, 5, 65535]], np.int32)
+        big = np.asarray([[0, 70000]], np.int32)
+        assert _compact_cols(small).dtype == jnp.uint16
+        assert _compact_cols(big).dtype == jnp.int32
+
+    def test_vals_bf16_only_when_exact(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from cumf_als_tpu.models.als import _compact_vals
+        halves = np.asarray([[0.5, 4.5, 0.0, 100.0]], np.float32)
+        lossy = np.asarray([[0.3, 1.7]], np.float32)
+        assert _compact_vals(halves).dtype == jnp.bfloat16
+        assert _compact_vals(lossy).dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(_compact_vals(halves), np.float32), halves)
