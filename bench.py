@@ -176,6 +176,11 @@ def main() -> int:
     # fused kernel doesn't compile on the local toolchain.
     p.add_argument("--factor-dtype", default="bf16",
                    choices=["f32", "bf16"])
+    p.add_argument("--factor-store", default="f32",
+                   choices=["f32", "bf16"],
+                   help="resident dtype of the factors between phases "
+                        "(bf16 halves factor HBM; the device-resident "
+                        "hugewiki lever)")
     p.add_argument("--backend", default="pallas",
                    choices=["xla", "pallas"])
     p.add_argument("--use-panels", default="auto",
@@ -258,6 +263,7 @@ def main() -> int:
                     iters=args.iters, solver=args.solver,
                     gram_precision=args.gram_precision,
                     factor_dtype=args.factor_dtype,
+                    factor_store=args.factor_store,
                     gram_dtype=args.gram_dtype,
                     aug_gram=args.aug_gram,
                     chunk_nnz=args.chunk_nnz,

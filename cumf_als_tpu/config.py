@@ -50,6 +50,12 @@ class ALSConfig:
     # factor_dtype: storage dtype of the gathered factor used to form the
     # Gram matrices ("f32" or "bf16" — the bf16 analog of fp16 theta).
     factor_dtype: str = "f32"
+    # factor_store: RESIDENT dtype of the factor matrices between
+    # phases. "bf16" halves factor HBM (the lever for device-resident
+    # hugewiki at m>=10M rows); solved rows round at write-back and CG
+    # warm-starts read the rounded values — second-order, since every
+    # row re-solves each iteration. Default f32 (bit-identical to r4).
+    factor_store: str = "f32"
     # gram_precision: MXU precision of the Gram einsum on f32 inputs:
     # "highest" (~fp32, 6-pass), "high" (bf16x3), "default" (1-pass bf16).
     gram_precision: str = "highest"

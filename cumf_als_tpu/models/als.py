@@ -668,7 +668,7 @@ class ALS:
             if collect_rmse_terms:
                 se_parts.append(_se_terms_aug(a_buf, solved) if aug
                                 else _se_terms(a_buf, b_buf, solved))
-            current = current.at[gids].set(solved, mode="drop")
+            current = current.at[gids].set(solved.astype(current.dtype), mode="drop")
         se = 0.0
         if collect_rmse_terms:
             # stays a device scalar: float() here would block inside the
@@ -890,7 +890,7 @@ class ALS:
                         solved, se = chunk_solve(parts, current, pids,
                                                  ch_arrays)
                         current = current.at[ch_arrays[0]].set(
-                            solved, mode="drop")
+                            solved.astype(current.dtype), mode="drop")
                         se_total = se_total + se
                     return current, se_total
                 fn = jax.jit(phase, donate_argnums=(1,))
@@ -916,7 +916,7 @@ class ALS:
             solved, se = fn(parts, current, ch_arrays)
             if collect_rmse_terms:
                 se_parts.append(se)
-            current = current.at[ch_arrays[0]].set(solved, mode="drop")
+            current = current.at[ch_arrays[0]].set(solved.astype(current.dtype), mode="drop")
         se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
         return current, se_acc
 
@@ -1008,8 +1008,8 @@ class ALS:
                         solved, se = chunk_solve(table_ext, current,
                                                  ch_arrays)
                         rows = ch_arrays[0]
-                        current = current.at[rows].set(solved,
-                                                       mode="drop")
+                        current = current.at[rows].set(
+                            solved.astype(current.dtype), mode="drop")
                         se_total = se_total + se
                     return current, se_total
                 fn = jax.jit(phase, donate_argnums=(1,))
@@ -1030,7 +1030,7 @@ class ALS:
                                      (ch.rows, ch.nnz, ch.cols, ch.vals))
             if collect_rmse_terms:
                 se_parts.append(se)
-            current = current.at[ch.rows].set(solved, mode="drop")
+            current = current.at[ch.rows].set(solved.astype(current.dtype), mode="drop")
         se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
         return current, se_acc
 
@@ -1048,6 +1048,16 @@ class ALS:
             (np.diff(self.train_csr.indptr) > 0).astype(np.float32))[:, None]
         theta = theta * jnp.asarray(
             (np.diff(self.train_csc.indptr) > 0).astype(np.float32))[:, None]
+        if cfg.factor_store == "bf16":
+            # Opt-in bf16 factor STORE (beyond the bf16 gather-table
+            # cast): halves the resident factor HBM — the lever that
+            # lets hugewiki scale-0.25 (m=12.5M: 6.4 GB f32 X) run
+            # device-resident. Solved rows round to bf16 at write-back
+            # and warm starts read the rounded values; CG re-solves
+            # every iteration, so the effect is second-order (measured
+            # on the trajectory tests). Default stays f32.
+            x = x.astype(jnp.bfloat16)
+            theta = theta.astype(jnp.bfloat16)
 
         history: List[IterationMetrics] = []
         if cfg.verbose:
@@ -1138,6 +1148,9 @@ class ALS:
                 # the reference).
                 raise FloatingPointError(
                     f"non-finite train RMSE at iteration {it}")
+        if cfg.factor_store == "bf16":
+            x = x.astype(jnp.float32)
+            theta = theta.astype(jnp.float32)
         return ALSResult(x=self._unpad_f(x), theta=self._unpad_f(theta),
                          history=history)
 
