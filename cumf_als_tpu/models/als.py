@@ -1038,16 +1038,6 @@ class ALS:
     def run(self, x0: np.ndarray, theta0: np.ndarray,
             start_iter: int = 0) -> ALSResult:
         cfg = self.cfg
-        x = self._pad_f(x0)
-        theta = self._pad_f(theta0)
-        # Zero factors of empty rows/cols up front: they are excluded
-        # from every update plan, so whatever they were initialized to
-        # would otherwise persist. Zero factors mean prediction 0 for
-        # their test entries — the SURPASS_NAN-intended semantics.
-        x = x * jnp.asarray(
-            (np.diff(self.train_csr.indptr) > 0).astype(np.float32))[:, None]
-        theta = theta * jnp.asarray(
-            (np.diff(self.train_csc.indptr) > 0).astype(np.float32))[:, None]
         if cfg.factor_store == "bf16":
             # Opt-in bf16 factor STORE (beyond the bf16 gather-table
             # cast): halves the resident factor HBM — the lever that
@@ -1055,9 +1045,23 @@ class ALS:
             # device-resident. Solved rows round to bf16 at write-back
             # and warm starts read the rounded values; CG re-solves
             # every iteration, so the effect is second-order (measured
-            # on the trajectory tests). Default stays f32.
-            x = x.astype(jnp.bfloat16)
-            theta = theta.astype(jnp.bfloat16)
+            # +-3e-4 on trajectory A/Bs). The cast happens HOST-side so
+            # the f32 factors never materialize on device (the f32
+            # pad+mask intermediates alone were 12.8 GB at m=12.5M).
+            import ml_dtypes
+            x0 = np.asarray(x0).astype(ml_dtypes.bfloat16)
+            theta0 = np.asarray(theta0).astype(ml_dtypes.bfloat16)
+        x = self._pad_f(x0)
+        theta = self._pad_f(theta0)
+        # Zero factors of empty rows/cols up front: they are excluded
+        # from every update plan, so whatever they were initialized to
+        # would otherwise persist. Zero factors mean prediction 0 for
+        # their test entries — the SURPASS_NAN-intended semantics.
+        x = x * jnp.asarray(
+            (np.diff(self.train_csr.indptr) > 0))[:, None].astype(x.dtype)
+        theta = theta * jnp.asarray(
+            (np.diff(self.train_csc.indptr) > 0))[:, None].astype(
+            theta.dtype)
 
         history: List[IterationMetrics] = []
         if cfg.verbose:
