@@ -60,6 +60,21 @@ class ALSResult:
         return np.einsum("ij,ij->i", self.x[rows], self.theta[cols])
 
 
+def _unflatten(r: int, cols, vals):
+    """Re-view flat device plan arrays as (R, P) inside a jit. Device
+    copies are stored 1-D because a 2-D (R, P) array pads its minor dim
+    to 128 lanes PHYSICALLY on TPU — a width-8 chunk would occupy 16x
+    its logical bytes in HBM (hugewiki's mean row degree is ~62, so
+    its "3.2 GB" plan really cost >10 GB resident before this, r5).
+    Inside a jitted consumer the reshape fuses into the gather/compute,
+    so nothing padded materializes for longer than the chunk dispatch."""
+    if cols.ndim == 1:
+        cols = cols.reshape(r, -1)
+    if vals.ndim == 1:
+        vals = vals.reshape(r, -1)
+    return cols, vals
+
+
 def _compact_cols(cols: np.ndarray) -> jnp.ndarray:
     """Device copy of gather indices, stored uint16 when every index
     (including the zero-extension pad id) fits — halves the
@@ -68,8 +83,8 @@ def _compact_cols(cols: np.ndarray) -> jnp.ndarray:
     device-resident runs are HBM-bound on plan bytes (scale 0.25 OOM'd
     at ~13.4 GB of int32+f32 plans, r5)."""
     if cols.size and int(cols.max()) <= np.iinfo(np.uint16).max:
-        return jnp.asarray(cols.astype(np.uint16))
-    return jnp.asarray(cols)
+        return jnp.asarray(cols.astype(np.uint16).reshape(-1))
+    return jnp.asarray(cols.reshape(-1))
 
 
 def _compact_vals(vals: np.ndarray) -> jnp.ndarray:
@@ -83,8 +98,8 @@ def _compact_vals(vals: np.ndarray) -> jnp.ndarray:
         import ml_dtypes
         v16 = vals.astype(ml_dtypes.bfloat16)
         if np.array_equal(np.asarray(v16, np.float32), vals):
-            return jnp.asarray(v16)
-    return jnp.asarray(vals)
+            return jnp.asarray(v16.reshape(-1))
+    return jnp.asarray(vals.reshape(-1))
 
 
 class DeviceChunk:
@@ -138,6 +153,7 @@ def _panel_accum(table_panel, a_buf, b_buf, cols, vals, rows, precision,
     partials are then rounded at each panel scatter-add — the accuracy
     cost is quantified in docs/PERFORMANCE.md."""
     from cumf_als_tpu.ops.gram import _PRECISIONS
+    cols, vals = _unflatten(rows.shape[0], cols, vals)
     f = table_panel.shape[1]
     if factor_dtype == "bf16":  # CUMF_USE_HALF analog
         table_panel = table_panel.astype(jnp.bfloat16)
@@ -163,6 +179,7 @@ def _panel_accum_aug(table_panel, a_buf, cols, vals, rows, precision,
     chain disappears (ops/pallas_solve._kernel_aug has the layout)."""
     from cumf_als_tpu.ops.gram import _PRECISIONS
     from cumf_als_tpu.ops.pallas_solve import augment_g
+    cols, vals = _unflatten(rows.shape[0], cols, vals)
     f = table_panel.shape[1]
     if factor_dtype == "bf16":
         table_panel = table_panel.astype(jnp.bfloat16)
@@ -206,6 +223,7 @@ def make_panel_group_fn(cfg, cache: dict, shapes_key, aug: bool = False):
             tp = jnp.concatenate(
                 [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
             for rows, cols, vals in chunk_arrays:
+                cols, vals = _unflatten(rows.shape[0], cols, vals)
                 if use_pallas:
                     a_part = gather_gram_aug_out(
                         tp, cols, vals, out_dtype=str(a_buf.dtype))
@@ -232,6 +250,7 @@ def make_panel_group_fn(cfg, cache: dict, shapes_key, aug: bool = False):
             [tpn, jnp.zeros((1, f), tpn.dtype)], axis=0)
         prec = _PRECISIONS[cfg.gram_precision]
         for rows, cols, vals in chunk_arrays:
+            cols, vals = _unflatten(rows.shape[0], cols, vals)
             if use_pallas:
                 from cumf_als_tpu.ops.pallas_solve import \
                     gather_gram_out
@@ -617,7 +636,7 @@ class ALS:
                     # (same routing as the panel path — this is what
                     # closes the Yahoo ns/nnz gap vs Netflix)
                     shapes_key = tuple(
-                        (c.cols.shape[0], c.cols.shape[1])
+                        (c.rows.shape[0], c.width)
                         for c in group)
                     fn = self._panel_group_fn(shapes_key, len(group),
                                               aug=aug)
@@ -720,7 +739,7 @@ class ALS:
             tp = panel_provider(p)
             if cfg.fuse_phase and len(group) <= cfg.fuse_max_chunks:
                 shapes_key = tuple(
-                    (c.cols.shape[0], c.cols.shape[1]) for c in group)
+                    (c.rows.shape[0], c.width) for c in group)
                 fn = self._panel_group_fn(shapes_key, len(group), aug=aug)
                 arrays = tuple((c.rows, c.cols, c.vals) for c in group)
                 if aug:
@@ -818,6 +837,11 @@ class ALS:
 
         def chunk_solve(parts, current, part_ids, ch_arrays):
             rows, nnz, vals, cols_parts = ch_arrays
+            r = rows.shape[0]
+            if vals.ndim == 1:
+                vals = vals.reshape(r, -1)
+            cols_parts = tuple(c.reshape(r, -1) if c.ndim == 1 else c
+                               for c in cols_parts)
             x0 = jnp.take(current, rows, axis=0, mode="fill",
                           fill_value=0.0)
             if use_wide:
@@ -948,6 +972,7 @@ class ALS:
 
         def chunk_solve(table_ext, current, ch_arrays):
             rows, nnz, cols, vals = ch_arrays
+            cols, vals = _unflatten(rows.shape[0], cols, vals)
             x0 = jnp.take(current, rows, axis=0, mode="fill",
                           fill_value=0.0)
             if use_wide:

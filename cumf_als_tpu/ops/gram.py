@@ -59,6 +59,12 @@ def gram_rhs(
     to zero.
     """
     f = table_ext.shape[1]
+    # device plan arrays arrive FLAT (models.als._unflatten): 2-D
+    # (R, P) arrays pad their minor dim to 128 lanes physically on TPU
+    if cols.ndim == 1:
+        cols = cols.reshape(nnz.shape[0], -1)
+    if vals.ndim == 1:
+        vals = vals.reshape(nnz.shape[0], -1)
     if factor_dtype == "bf16":                       # CUMF_USE_HALF analog
         # cast the table, not the gathered copy: the gather then moves
         # half the bytes (cheap one-pass cast of the small factor)

@@ -161,5 +161,7 @@ class TestCompactDevicePlans:
         lossy = np.asarray([[0.3, 1.7]], np.float32)
         assert _compact_vals(halves).dtype == jnp.bfloat16
         assert _compact_vals(lossy).dtype == jnp.float32
+        # device copies are stored FLAT (lane-padding avoidance)
         np.testing.assert_array_equal(
-            np.asarray(_compact_vals(halves), np.float32), halves)
+            np.asarray(_compact_vals(halves), np.float32),
+            halves.reshape(-1))
