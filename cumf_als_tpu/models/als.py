@@ -901,7 +901,8 @@ class ALS:
         chunk_arrays = tuple((ch.rows, ch.nnz, ch.vals, ch.cols)
                              for ch in chunks)
         if cfg.fuse_phase and use_pallas and \
-                len(chunks) <= cfg.fuse_max_chunks:
+                len(chunks) <= cfg.fuse_max_chunks and \
+                current.nbytes <= (1 << 31):
             key = ("phase_split", id(plan), collect_rmse_terms,
                    cfg.backend)
             fn = self._fn_cache.get(key)
@@ -1007,8 +1008,16 @@ class ALS:
         # program the scheduler may overlap enough chunks to blow HBM
         # (observed: 51 GB on Netflix/cholesky). The fused kernel keeps
         # A in VMEM scratch, so chunk overlap costs only gather buffers.
+        # The fused whole-phase program threads `current` through one
+        # scatter-update per chunk; XLA's scheduler overlaps chunks and
+        # can keep several VERSIONS of `current` live at once — free for
+        # Netflix-sized factors, fatal at hugewiki scale (12.5M x 128
+        # bf16 = 3.2 GB per version; r5 scale-0.25 OOM). Huge factors
+        # take the per-chunk dispatch path, where donation keeps
+        # exactly one version alive.
         if cfg.fuse_phase and use_pallas and \
-                len(chunks) <= cfg.fuse_max_chunks:
+                len(chunks) <= cfg.fuse_max_chunks and \
+                current.nbytes <= (1 << 31):
             # One jitted program for the whole phase: chunk solves are
             # row-disjoint and independent (warm starts read rows only
             # their own chunk writes), so write-back is a single scatter
@@ -1049,13 +1058,24 @@ class ALS:
         table_ext = extend_table(table)
         # se parts stay on device: a float() per chunk would force a
         # blocking device sync and stall the dispatch pipeline.
+        # The write-back is a DONATED jitted scatter: an eager
+        # .at[].set copies the whole factor per chunk (3.2 GB x 2 per
+        # chunk at hugewiki scale); donation updates in place.
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        upd_key = ("scatter_rows", str(current.dtype))
+        upd = self._fn_cache.setdefault(
+            upd_key,
+            jax.jit(lambda cur, rows, sol: cur.at[rows].set(
+                sol.astype(cur.dtype), mode="drop"),
+                donate_argnums=(0,)))
         se_parts = []
         for ch in chunks:
             solved, se = chunk_solve(table_ext, current,
                                      (ch.rows, ch.nnz, ch.cols, ch.vals))
             if collect_rmse_terms:
                 se_parts.append(se)
-            current = current.at[ch.rows].set(solved.astype(current.dtype), mode="drop")
+            current = upd(current, ch.rows, solved)
         se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
         return current, se_acc
 
