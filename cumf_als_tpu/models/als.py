@@ -1069,13 +1069,24 @@ class ALS:
             jax.jit(lambda cur, rows, sol: cur.at[rows].set(
                 sol.astype(cur.dtype), mode="drop"),
                 donate_argnums=(0,)))
+        # Huge-factor phases run per-chunk (fusion gate above); the
+        # eager loop dispatches asynchronously, so without a throttle
+        # ~hundreds of chunks queue with a ~1 GB gathered-G transient
+        # each and the device OOMs on in-flight buffers (r5 hugewiki
+        # scale-0.25: 6.4 GB resident, OOM regardless). Draining the
+        # pipeline every few chunks bounds the overlap at a few
+        # transients; a dependent scalar D2H read is the only sync the
+        # axon tunnel honors.
+        throttle = 4 if current.nbytes > (1 << 31) else 0
         se_parts = []
-        for ch in chunks:
+        for i, ch in enumerate(chunks):
             solved, se = chunk_solve(table_ext, current,
                                      (ch.rows, ch.nnz, ch.cols, ch.vals))
             if collect_rmse_terms:
                 se_parts.append(se)
             current = upd(current, ch.rows, solved)
+            if throttle and (i % throttle) == throttle - 1:
+                float(jnp.sum(solved[:1, :1]))
         se_acc = jnp.sum(jnp.stack(se_parts)) if se_parts else 0.0
         return current, se_acc
 
